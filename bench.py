@@ -1,0 +1,80 @@
+"""Headline benchmark: images/sec/chip for 50-step 512x512 4-instance
+InstanceDiffusion generation (PLMS + CFG 7.5, boxes+points conditioning) on
+one TPU chip — the BASELINE.json north-star configuration (target: >= 2
+img/s/chip on v5e).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N/2.0}
+
+Weights are random-init (no pretrained assets in this environment); compute
+cost is identical to the trained model.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from instancediffusion_tpu.config import Config, apply_test_preset
+    from instancediffusion_tpu.pipeline import InstanceDiffusionPipeline
+
+    num_images = int(os.environ.get("BENCH_BATCH", "8"))
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+
+    cfg = apply_test_preset(Config(), "box")
+    pipe = InstanceDiffusionPipeline.random_init(cfg, seed=0)
+
+    # 4-instance box+point meta (demo_cat_dog_robin.json shape)
+    meta = {
+        "prompt": "a cat and a dog and a robin sitting on a wooden bench in a park",
+        "phrases": ["a cat", "a dog", "a robin", "a wooden bench"],
+        "locations": [
+            [0.05, 0.35, 0.45, 0.90],
+            [0.55, 0.30, 0.95, 0.90],
+            [0.42, 0.05, 0.58, 0.25],
+            [0.02, 0.55, 0.98, 0.98],
+        ],
+        "points": [[0.25, 0.62], [0.75, 0.60], [0.50, 0.15], [0.50, 0.76]],
+        "alpha_type": [0.75, 0.0, 0.25],
+    }
+
+    # warm-up: compile
+    t0 = time.time()
+    imgs = pipe.generate(meta, num_images=num_images, steps=steps, mis=0.0, seed=0)
+    compile_s = time.time() - t0
+    assert imgs.shape == (num_images, 512, 512, 3), imgs.shape
+
+    # timed runs
+    n_runs = 3
+    t0 = time.time()
+    for i in range(n_runs):
+        imgs = pipe.generate(
+            meta, num_images=num_images, steps=steps, mis=0.0, seed=i + 1
+        )
+    dt = time.time() - t0
+    imgs_per_sec = num_images * n_runs / dt
+
+    result = {
+        "metric": "images_per_sec_per_chip_50step_512px_4inst",
+        "value": round(imgs_per_sec, 4),
+        "unit": "img/s/chip",
+        "vs_baseline": round(imgs_per_sec / 2.0, 4),
+        "extra": {
+            "batch": num_images,
+            "steps": steps,
+            "sec_per_image": round(dt / (num_images * n_runs), 4),
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

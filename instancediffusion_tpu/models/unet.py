@@ -1,0 +1,425 @@
+"""SD1.5 UNet with UniFusion grounding injection and ScaleU, TPU-native.
+
+Functional re-design of the reference UNetModel
+(ldm/modules/diffusionmodules/openaimodel.py:307-566) plus its transformer
+stack (ldm/modules/attention.py:98-379):
+
+  * pure function over a parameter pytree — no module mutation. The two
+    host-side mid-loop mutations of the reference become traced data:
+      - `set_alpha_scale` (utils/model.py:78-81)  -> `gate_scale` scalar arg
+      - `restore_first_conv_from_SD` (openaimodel.py:469-480) -> both conv
+        param sets live in the pytree and are `jnp.where`-selected on
+        `gate_scale == 0`
+  * NHWC activations, HWIO conv kernels, (in,out) linear weights
+  * norms in fp32, matmuls/convs in the activation dtype (bf16 on TPU)
+  * the network structure is a static "plan" computed from UNetConfig, so
+    `init` and `apply` walk identical layer lists and XLA sees fully static
+    shapes/control flow
+
+Architecture (configs/test_box.yaml:8-24): 4->320ch, channel_mult (1,2,4,4),
+2 res blocks/level, depth-1 spatial transformers at ds 1,2,4, 8 heads,
+context_dim 768, gatedSA fuser, ScaleU on all 12 decoder skip-joins.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from instancediffusion_tpu.config import UNetConfig
+from instancediffusion_tpu.nn import core as nn
+from instancediffusion_tpu.ops.attention import multi_head_attention
+from instancediffusion_tpu.ops.schedules import timestep_embedding
+from instancediffusion_tpu.models import unifusion
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Static structure plan
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LayerSpec:
+    kind: str          # "conv_in" | "res" | "attn" | "down" | "up"
+    in_ch: int = 0
+    out_ch: int = 0
+    ds: int = 1        # downsample factor at this layer (attn masking needs it)
+
+
+def build_plan(cfg: UNetConfig):
+    """Returns (input_blocks, middle_block, output_blocks): lists of
+    lists-of-LayerSpec mirroring openaimodel.py:371-456."""
+    mc = cfg.model_channels
+    input_blocks: list[list[LayerSpec]] = [
+        [LayerSpec("conv_in", cfg.in_channels, mc)]
+    ]
+    input_block_chans = [mc]
+    ch = mc
+    ds = 1
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            layers = [LayerSpec("res", ch, mult * mc)]
+            ch = mult * mc
+            if ds in cfg.attention_resolutions:
+                layers.append(LayerSpec("attn", ch, ch, ds))
+            input_blocks.append(layers)
+            input_block_chans.append(ch)
+        if level != len(cfg.channel_mult) - 1:
+            input_blocks.append([LayerSpec("down", ch, ch)])
+            input_block_chans.append(ch)
+            ds *= 2
+
+    middle_block = [
+        LayerSpec("res", ch, ch),
+        LayerSpec("attn", ch, ch, ds),
+        LayerSpec("res", ch, ch),
+    ]
+
+    output_blocks: list[list[LayerSpec]] = []
+    for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+        for i in range(cfg.num_res_blocks + 1):
+            ich = input_block_chans.pop()
+            layers = [LayerSpec("res", ch + ich, mc * mult)]
+            ch = mc * mult
+            if ds in cfg.attention_resolutions:
+                layers.append(LayerSpec("attn", ch, ch, ds))
+            if level and i == cfg.num_res_blocks:
+                layers.append(LayerSpec("up", ch, ch))
+                ds //= 2
+            output_blocks.append(layers)
+
+    return input_blocks, middle_block, output_blocks
+
+
+# ---------------------------------------------------------------------------
+# Sub-module init/apply
+# ---------------------------------------------------------------------------
+
+
+def _init_res_block(key, in_ch, out_ch, emb_ch) -> Params:
+    ks = jax.random.split(key, 4)
+    p = {
+        "in_norm": nn.init_norm(in_ch),
+        "in_conv": nn.init_conv2d(ks[0], in_ch, out_ch, 3),
+        "emb_lin": nn.init_linear(ks[1], emb_ch, out_ch),
+        "out_norm": nn.init_norm(out_ch),
+        "out_conv": nn.init_conv2d(ks[2], out_ch, out_ch, 3, zero=True),
+    }
+    if in_ch != out_ch:
+        p["skip_conv"] = nn.init_conv2d(ks[3], in_ch, out_ch, 1)
+    return p
+
+
+def _apply_res_block(p: Params, x, emb):
+    """openaimodel.py:237-257 (no scale_shift_norm, no up/down variant —
+    SD1.5 uses neither)."""
+    h = nn.conv2d(p["in_conv"], nn.silu(nn.group_norm(p["in_norm"], x)), padding=1)
+    emb_out = nn.linear(p["emb_lin"], nn.silu(emb)).astype(h.dtype)
+    h = h + emb_out[:, None, None, :]
+    h = nn.conv2d(p["out_conv"], nn.silu(nn.group_norm(p["out_norm"], h)), padding=1)
+    skip = nn.conv2d(p["skip_conv"], x, padding=0) if "skip_conv" in p else x
+    return skip + h
+
+
+def _init_mha(key, query_dim, kv_dim, inner_dim) -> Params:
+    ks = jax.random.split(key, 4)
+    return {
+        "to_q": nn.init_linear(ks[0], query_dim, inner_dim, bias=False),
+        "to_k": nn.init_linear(ks[1], kv_dim, inner_dim, bias=False),
+        "to_v": nn.init_linear(ks[2], kv_dim, inner_dim, bias=False),
+        "to_out": nn.init_linear(ks[3], inner_dim, query_dim),
+    }
+
+
+def _apply_mha(p: Params, x, kv, num_heads, mask=None, impl="xla"):
+    q = nn.linear(p["to_q"], x)
+    k = nn.linear(p["to_k"], kv)
+    v = nn.linear(p["to_v"], kv)
+    out = multi_head_attention(q, k, v, num_heads, mask=mask, impl=impl)
+    return nn.linear(p["to_out"], out)
+
+
+def _init_ff_geglu(key, dim, mult=4) -> Params:
+    ks = jax.random.split(key, 2)
+    inner = dim * mult
+    return {
+        "proj": nn.init_linear(ks[0], dim, inner * 2),
+        "out": nn.init_linear(ks[1], inner, dim),
+    }
+
+
+def _apply_ff_geglu(p: Params, x):
+    h = nn.linear(p["proj"], x)
+    a, gate = jnp.split(h, 2, axis=-1)
+    return nn.linear(p["out"], a * nn.gelu(gate))
+
+
+def _init_fuser(key, query_dim, context_dim) -> Params:
+    """GatedSelfAttentionDense (attention.py:285-311)."""
+    ks = jax.random.split(key, 3)
+    return {
+        "linear": nn.init_linear(ks[0], context_dim, query_dim),
+        "attn": _init_mha(ks[1], query_dim, query_dim, query_dim),
+        "ff": _init_ff_geglu(ks[2], query_dim),
+        "norm1": nn.init_norm(query_dim),
+        "norm2": nn.init_norm(query_dim),
+        "alpha_attn": jnp.zeros((), jnp.float32),
+        "alpha_dense": jnp.zeros((), jnp.float32),
+    }
+
+
+def _apply_fuser(p, x, objs, num_heads, gate_scale, fuser_mask, impl):
+    """x: (B,N,C) visual tokens; objs: (B,G,ctx) grounding tokens.
+    gate_scale: traced scalar (the reference's per-step `.scale`).
+    fuser_mask: optional (B,1,N+G,N+G) bool keep-mask (instance masking)."""
+    n_visual = x.shape[1]
+    objs_p = nn.linear(p["linear"], objs.astype(x.dtype))
+    cat = nn.layer_norm(p["norm1"], jnp.concatenate([x, objs_p], axis=1))
+    attn_out = _apply_mha(p["attn"], cat, cat, num_heads, mask=fuser_mask, impl=impl)
+    g1 = (gate_scale * jnp.tanh(p["alpha_attn"])).astype(x.dtype)
+    x = x + g1 * attn_out[:, :n_visual, :]
+    g2 = (gate_scale * jnp.tanh(p["alpha_dense"])).astype(x.dtype)
+    x = x + g2 * _apply_ff_geglu(p["ff"], nn.layer_norm(p["norm2"], x))
+    return x
+
+
+def _init_transformer_block(key, query_dim, context_dim) -> Params:
+    ks = jax.random.split(key, 4)
+    return {
+        "attn1": _init_mha(ks[0], query_dim, query_dim, query_dim),
+        "fuser": _init_fuser(ks[1], query_dim, context_dim),
+        "attn2": _init_mha(ks[2], query_dim, context_dim, query_dim),
+        "ff": _init_ff_geglu(ks[3], query_dim),
+        "norm1": nn.init_norm(query_dim),
+        "norm2": nn.init_norm(query_dim),
+        "norm3": nn.init_norm(query_dim),
+    }
+
+
+def _apply_transformer_block(
+    p, x, context, objs, num_heads, gate_scale, fuser_mask, impl
+):
+    """attention.py:333-338: self-attn -> fuser -> cross-attn -> FF."""
+    xn = nn.layer_norm(p["norm1"], x)
+    x = _apply_mha(p["attn1"], xn, xn, num_heads, impl=impl) + x
+    x = _apply_fuser(p["fuser"], x, objs, num_heads, gate_scale, fuser_mask, impl)
+    x = _apply_mha(
+        p["attn2"], nn.layer_norm(p["norm2"], x), context.astype(x.dtype),
+        num_heads, impl=impl,
+    ) + x
+    x = _apply_ff_geglu(p["ff"], nn.layer_norm(p["norm3"], x)) + x
+    return x
+
+
+def _init_spatial_transformer(key, in_ch, context_dim, depth) -> Params:
+    ks = jax.random.split(key, depth + 2)
+    return {
+        "norm": nn.init_norm(in_ch),
+        "proj_in": nn.init_conv2d(ks[0], in_ch, in_ch, 1),
+        "blocks": [
+            _init_transformer_block(ks[1 + d], in_ch, context_dim)
+            for d in range(depth)
+        ],
+        "proj_out": nn.init_conv2d(ks[depth + 1], in_ch, in_ch, 1, zero=True),
+    }
+
+
+def _apply_spatial_transformer(
+    p, x, context, objs, num_heads, gate_scale, fuser_mask, impl
+):
+    """attention.py:366-379. x: NHWC."""
+    b, h, w, c = x.shape
+    x_in = x
+    x = nn.group_norm(p["norm"], x, eps=1e-6)
+    x = nn.conv2d(p["proj_in"], x, padding=0)
+    x = x.reshape(b, h * w, c)
+    for blk in p["blocks"]:
+        x = _apply_transformer_block(
+            blk, x, context, objs, num_heads, gate_scale, fuser_mask, impl
+        )
+    x = x.reshape(b, h, w, c)
+    x = nn.conv2d(p["proj_out"], x, padding=0)
+    return x + x_in
+
+
+# ---------------------------------------------------------------------------
+# ScaleU Fourier filter (openaimodel.py:25-48)
+# ---------------------------------------------------------------------------
+
+
+def fourier_filter(x: jnp.ndarray, threshold: int, scale: jnp.ndarray) -> jnp.ndarray:
+    """Low-frequency rescale of an NHWC tensor via a 2D FFT. `scale` may be a
+    traced scalar (a ScaleU parameter). fp32 compute."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    _, h, w, _ = x.shape
+    x_freq = jnp.fft.fftn(xf, axes=(1, 2))
+    x_freq = jnp.fft.fftshift(x_freq, axes=(1, 2))
+    crow, ccol = h // 2, w // 2
+    rows = jnp.arange(h)
+    cols = jnp.arange(w)
+    in_r = (rows >= crow - threshold) & (rows < crow + threshold)
+    in_c = (cols >= ccol - threshold) & (cols < ccol + threshold)
+    region = in_r[:, None] & in_c[None, :]
+    mask = jnp.where(region[None, :, :, None], scale.astype(jnp.float32), 1.0)
+    x_freq = x_freq * mask
+    x_freq = jnp.fft.ifftshift(x_freq, axes=(1, 2))
+    out = jnp.fft.ifftn(x_freq, axes=(1, 2)).real
+    return out.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# UNet init / apply
+# ---------------------------------------------------------------------------
+
+
+def init_unet(key, cfg: UNetConfig) -> Params:
+    input_plan, middle_plan, output_plan = build_plan(cfg)
+    emb_ch = cfg.model_channels * 4
+    keys = iter(jax.random.split(key, 4096))
+
+    def init_layer(spec: LayerSpec) -> Params:
+        if spec.kind == "conv_in":
+            return {"conv": nn.init_conv2d(next(keys), spec.in_ch, spec.out_ch, 3)}
+        if spec.kind == "res":
+            return _init_res_block(next(keys), spec.in_ch, spec.out_ch, emb_ch)
+        if spec.kind == "attn":
+            return _init_spatial_transformer(
+                next(keys), spec.out_ch, cfg.context_dim, cfg.transformer_depth
+            )
+        if spec.kind in ("down", "up"):
+            return {"conv": nn.init_conv2d(next(keys), spec.in_ch, spec.out_ch, 3)}
+        raise ValueError(spec.kind)
+
+    params: Params = {
+        "time_embed": {
+            "l1": nn.init_linear(next(keys), cfg.model_channels, emb_ch),
+            "l2": nn.init_linear(next(keys), emb_ch, emb_ch),
+        },
+        "input_blocks": [[init_layer(s) for s in blk] for blk in input_plan],
+        "middle_block": [init_layer(s) for s in middle_plan],
+        "output_blocks": [[init_layer(s) for s in blk] for blk in output_plan],
+        "out": {
+            "norm": nn.init_norm(cfg.model_channels),
+            "conv": nn.init_conv2d(
+                next(keys), cfg.model_channels, cfg.out_channels, 3, zero=True
+            ),
+        },
+        # ScaleU params per output block (openaimodel.py:441-443): b over the
+        # *backbone* channels entering the block (= ch before the res block),
+        # s a scalar FFT gate on the skip.
+        "scaleu": [
+            {"b": jnp.zeros((blk[0].in_ch - ich,), jnp.float32),
+             "s": jnp.zeros((1,), jnp.float32)}
+            for blk, ich in zip(output_plan, _skip_channels(cfg))
+        ],
+        "position_net": unifusion.init_unifusion(next(keys), cfg.grounding_tokenizer),
+        # Stock SD1.5 first conv for the alpha==0 hot-swap
+        # (openaimodel.py:469-480); initialized = trained conv, overwritten
+        # by the checkpoint converter with SD_v1_5_input_conv_weight_bias.pth.
+        "first_conv_sd": nn.init_conv2d(next(keys), cfg.in_channels, cfg.model_channels, 3),
+    }
+    return params
+
+
+def _skip_channels(cfg: UNetConfig) -> list[int]:
+    """Channel count of each skip connection popped by the 12 output blocks,
+    in pop order (mirrors input_block_chans bookkeeping)."""
+    mc = cfg.model_channels
+    chans = [mc]
+    ch = mc
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            ch = mult * mc
+            chans.append(ch)
+        if level != len(cfg.channel_mult) - 1:
+            chans.append(ch)
+    return chans[::-1]
+
+
+def apply_unet(
+    params: Params,
+    cfg: UNetConfig,
+    x: jnp.ndarray,                  # (B, H, W, 4) latent, NHWC
+    timesteps: jnp.ndarray,          # (B,) int/float
+    context: jnp.ndarray,            # (B, 77, 768) text conditioning
+    grounding: dict | None,          # unifusion.Grounding tensors, or None
+    gate_scale: jnp.ndarray | float = 1.0,   # per-step alpha (traced scalar)
+    drops: "unifusion.ModalityDrops | None" = None,
+    fuser_mask: jnp.ndarray | None = None,   # (B,1,N64+G,N64+G) bool, ds=1 only
+    attn_impl: str = "xla",
+) -> jnp.ndarray:
+    """eps-prediction forward (openaimodel.py:482-563)."""
+    gcfg = cfg.grounding_tokenizer
+    if grounding is None:
+        grounding = unifusion.null_grounding(x.shape[0], cfg.max_objs, gcfg)
+    if drops is None:
+        drops = unifusion.ModalityDrops.test_defaults(gcfg)
+
+    # Grounding tokens: (B, G, out_dim); G = 4*max_objs + 64 seg tokens
+    objs, drop_box_mask = unifusion.apply_unifusion(
+        params["position_net"], gcfg, grounding, drops
+    )
+    del drop_box_mask  # folded into fuser_mask by the mask builder
+
+    gate_scale = jnp.asarray(gate_scale, jnp.float32)
+
+    # Time embedding
+    t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
+    emb = nn.linear(
+        params["time_embed"]["l2"],
+        nn.silu(nn.linear(params["time_embed"]["l1"], t_emb)),
+    )
+
+    input_plan, middle_plan, output_plan = build_plan(cfg)
+
+    def run_layer(spec: LayerSpec, p: Params, h):
+        if spec.kind == "conv_in":
+            # Select trained vs stock-SD first conv on gate_scale == 0
+            use_sd = gate_scale == 0.0
+            w = jnp.where(use_sd, params["first_conv_sd"]["w"], p["conv"]["w"])
+            b = jnp.where(use_sd, params["first_conv_sd"]["b"], p["conv"]["b"])
+            return nn.conv2d({"w": w, "b": b}, h, padding=1)
+        if spec.kind == "res":
+            return _apply_res_block(p, h, emb)
+        if spec.kind == "attn":
+            mask = fuser_mask if spec.ds == 1 else None
+            return _apply_spatial_transformer(
+                p, h, context, objs, cfg.num_heads, gate_scale, mask, attn_impl
+            )
+        if spec.kind == "down":
+            return nn.conv2d(p["conv"], h, stride=2, padding=1)
+        if spec.kind == "up":
+            return nn.conv2d(p["conv"], nn.upsample_nearest_2x(h), padding=1)
+        raise ValueError(spec.kind)
+
+    hs = []
+    h = x
+    for specs, ps in zip(input_plan, params["input_blocks"]):
+        for spec, p in zip(specs, ps):
+            h = run_layer(spec, p, h)
+        hs.append(h)
+
+    for spec, p in zip(middle_plan, params["middle_block"]):
+        h = run_layer(spec, p, h)
+
+    for idx, (specs, ps) in enumerate(zip(output_plan, params["output_blocks"])):
+        # ScaleU (openaimodel.py:519-539): channelwise backbone rescale +
+        # low-frequency FFT rescale of the skip, both tanh-gated around 1.
+        hs_ = hs.pop()
+        su = params["scaleu"][idx]
+        b = (jnp.tanh(su["b"]) + 1.0).astype(h.dtype)
+        s = jnp.tanh(su["s"]) + 1.0
+        h = h * b
+        hs_ = fourier_filter(hs_, threshold=1, scale=s)
+        h = jnp.concatenate([h, hs_], axis=-1)
+        for spec, p in zip(specs, ps):
+            h = run_layer(spec, p, h)
+
+    h = nn.silu(nn.group_norm(params["out"]["norm"], h))
+    return nn.conv2d(params["out"]["conv"], h, padding=1)

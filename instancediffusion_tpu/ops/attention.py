@@ -1,0 +1,75 @@
+"""Multi-head attention primitives.
+
+Reference semantics: ldm/modules/attention.py — SelfAttention (:160-282),
+CrossAttention (:98-157). Masking uses boolean keep-masks applied as -inf
+before softmax (attention.py:276-277); the reference's flash path silently
+*ignores* instance masks (attention.py:189 `not self.efficient_attention`);
+we fix that inconsistency here: every impl honors the mask (SURVEY §7
+"flash-attention parity" decision), with `parity_drop_mask_on_flash` to
+reproduce the reference quirk when exact parity is required.
+
+Implementations:
+  * "xla"    — einsum + softmax; XLA fuses this well at SD1.5 sizes
+  * "pallas" — fused flash-attention TPU kernel (kernels/flash_attention.py)
+
+All inputs are (B, N, H*C) post-projection; heads are split internally.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e9  # fp32/bf16-safe large negative (torch uses -finfo.max / -inf)
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, n, hc = x.shape
+    c = hc // num_heads
+    return x.reshape(b, n, num_heads, c).transpose(0, 2, 1, 3)  # (B,H,N,C)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, n, c = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * c)
+
+
+def sdpa_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention over (B,H,N,C) tensors.
+
+    mask: optional boolean (B,1,N,M) keep-mask (True = attend). Scores are
+    computed in fp32 for softmax stability (matches AMP fp32 softmax).
+    """
+    c = q.shape[-1]
+    scale = c ** -0.5
+    sim = jnp.einsum(
+        "bhnc,bhmc->bhnm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        sim = jnp.where(mask, sim, _NEG_INF)
+    attn = jax.nn.softmax(sim, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bhmc->bhnc", attn, v, preferred_element_type=q.dtype)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    mask: jnp.ndarray | None = None,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """(B,N,H*C) x (B,M,H*C) -> (B,N,H*C) attention with optional keep-mask."""
+    qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
+    if impl == "pallas":
+        from instancediffusion_tpu.kernels.flash_attention import flash_attention
+
+        out = flash_attention(qh, kh, vh, mask=mask)
+    else:
+        out = sdpa_xla(qh, kh, vh, mask=mask)
+    return _merge_heads(out)

@@ -1,0 +1,201 @@
+"""PLMS (pseudo linear multistep) sampler as a single `lax.scan` under jit.
+
+Re-design of the reference PLMSSampler (ldm/models/diffusion/plms.py:9-167):
+
+  * the 50-step Python loop becomes one `lax.scan`; the per-step host-side
+    module mutations (`set_alpha_scale`, `restore_first_conv_from_SD`,
+    plms.py:89-94) are precomputed per-step gate scalars fed through the
+    scan and consumed as traced data inside the UNet
+  * classifier-free guidance is the caller's concern: `model_fn` receives
+    (x, t, gate) and returns eps — callers batch cond/uncond in one 2B
+    forward (see build_cfg_model_fn)
+  * Adams-Bashforth order warm-up (plms.py:148-163) is a `lax.switch` on
+    the history count; the step-0 "pseudo improved Euler" extra model call
+    (plms.py:150-154) lives in branch 0 of the switch
+  * eta=0 always (PLMS requirement, plms.py:26-27), so sigma terms vanish
+
+The schedule bundle is precomputed on host in loop order (i = 0 is the
+noisiest step), indexed by the scan counter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instancediffusion_tpu.ops.schedules import (
+    DiffusionSchedule,
+    alpha_generator,
+    make_ddim_sampling_parameters,
+    make_ddim_timesteps,
+)
+
+ModelFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+# model_fn(x (B,H,W,C), t (B,) int32, gate scalar) -> eps (B,H,W,C)
+
+
+@dataclass(frozen=True)
+class PLMSSchedule:
+    """Per-step arrays in loop order (descending t). All float32 numpy."""
+
+    ts: np.ndarray           # (S,) int32 current timesteps
+    ts_next: np.ndarray      # (S,) int32 next timesteps (for step-0 Euler)
+    a_t: np.ndarray          # (S,) ddim alpha_cumprod at t
+    a_prev: np.ndarray       # (S,) ddim alpha_cumprod at t_prev
+    sqrt_one_minus_a_t: np.ndarray  # (S,)
+    gates: np.ndarray        # (S,) gated-self-attn alpha scale per step
+
+    @property
+    def num_steps(self) -> int:
+        return int(self.ts.shape[0])
+
+
+def make_plms_schedule(
+    diffusion: DiffusionSchedule,
+    num_steps: int,
+    alpha_type: list[float] | None = None,
+) -> PLMSSchedule:
+    """PLMSSampler.make_schedule (plms.py:25-62) + alpha_generator, re-indexed
+    into loop order: reference loops i over flip(ddim_timesteps) with buffer
+    index = S-1-i."""
+    ddim_ts = make_ddim_timesteps("uniform", num_steps, diffusion.num_timesteps)
+    _, ddim_alphas, ddim_alphas_prev = make_ddim_sampling_parameters(
+        diffusion.alphas_cumprod.astype(np.float64), ddim_ts, eta=0.0
+    )
+    time_range = ddim_ts[::-1]
+    s = len(time_range)
+    idx = np.arange(s)
+    rev = s - 1 - idx
+    ts_next = time_range[np.minimum(idx + 1, s - 1)]
+    gates = alpha_generator(s, alpha_type)
+    return PLMSSchedule(
+        ts=time_range.astype(np.int32),
+        ts_next=ts_next.astype(np.int32),
+        a_t=ddim_alphas[rev].astype(np.float32),
+        a_prev=np.asarray(ddim_alphas_prev)[rev].astype(np.float32),
+        sqrt_one_minus_a_t=np.sqrt(1.0 - ddim_alphas[rev]).astype(np.float32),
+        gates=gates.astype(np.float32),
+    )
+
+
+def _x_prev(x, e_t, a_t, a_prev, sqrt_1m_at):
+    """get_x_prev_and_pred_x0 with sigma=0 (plms.py:130-144)."""
+    pred_x0 = (x - sqrt_1m_at * e_t) / jnp.sqrt(a_t)
+    dir_xt = jnp.sqrt(1.0 - a_prev) * e_t
+    return jnp.sqrt(a_prev) * pred_x0 + dir_xt
+
+
+def _e_t_prime(model_fn, x, e_t, hist, n_hist, coeffs):
+    """Adams-Bashforth combine with warm-up (plms.py:148-163).
+
+    hist: (3, ...) rolling eps history, hist[2] newest.
+    n_hist: traced int — number of valid history entries (capped at 3)."""
+    ts, ts_next, a_t, a_prev, sqrt_1m = coeffs
+
+    def order1(_):
+        # Pseudo improved Euler: extra model call at (x_prev, t_next)
+        x1 = _x_prev(x, e_t, a_t, a_prev, sqrt_1m)
+        e_next = model_fn(x1, ts_next)
+        return (e_t + e_next) / 2
+
+    def order2(_):
+        return (3 * e_t - hist[2]) / 2
+
+    def order3(_):
+        return (23 * e_t - 16 * hist[2] + 5 * hist[1]) / 12
+
+    def order4(_):
+        return (55 * e_t - 59 * hist[2] + 37 * hist[1] - 9 * hist[0]) / 24
+
+    return jax.lax.switch(
+        jnp.minimum(n_hist, 3), [order1, order2, order3, order4], None
+    )
+
+
+def plms_steps(
+    model_fn: ModelFn,
+    sched: PLMSSchedule,
+    x: jnp.ndarray,
+    start: int,
+    stop: int,
+    hist: jnp.ndarray | None = None,
+    n_hist: jnp.ndarray | int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run PLMS steps [start, stop) as a lax.scan.
+
+    hist/n_hist allow resuming with existing eps history (MIS phase 2
+    reuses trajectory-0 history across the merge, plms_instance.py:108-109).
+    Returns (x, hist, n_hist)."""
+    if hist is None:
+        hist = jnp.zeros((3,) + x.shape, x.dtype)
+    n_hist = jnp.asarray(n_hist, jnp.int32)
+
+    arrays = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a[start:stop]),
+        (sched.ts, sched.ts_next, sched.a_t, sched.a_prev,
+         sched.sqrt_one_minus_a_t, sched.gates),
+    )
+
+    b = x.shape[0]
+
+    def step(carry, per_step):
+        x, hist, n_hist = carry
+        ts, ts_next, a_t, a_prev, sqrt_1m, gate = per_step
+        tb = jnp.full((b,), ts, jnp.int32)
+        fn = lambda xx, tt: model_fn(xx, tt, gate)
+        e_t = fn(x, tb)
+        coeffs = (tb, jnp.full((b,), ts_next, jnp.int32), a_t, a_prev, sqrt_1m)
+        e_prime = _e_t_prime(fn, x, e_t, hist, n_hist, coeffs)
+        x = _x_prev(x, e_prime, a_t, a_prev, sqrt_1m)
+        hist = jnp.concatenate([hist[1:], e_t[None]], axis=0)
+        return (x, hist, jnp.minimum(n_hist + 1, 3)), None
+
+    (x, hist, n_hist), _ = jax.lax.scan(step, (x, hist, n_hist), arrays)
+    return x, hist, n_hist
+
+
+def plms_sample(
+    model_fn: ModelFn, sched: PLMSSchedule, x_init: jnp.ndarray
+) -> jnp.ndarray:
+    """Full PLMS sampling pass (plms.py:72-113). Jit the enclosing closure."""
+    x, _, _ = plms_steps(model_fn, sched, x_init, 0, sched.num_steps)
+    return x
+
+
+def build_cfg_model_fn(
+    apply_eps,                       # apply_eps(x, t, context, grounding, gate) -> eps
+    context: jnp.ndarray,            # (B, 77, D) conditional text
+    uc_context: jnp.ndarray | None,  # (B, 77, D) unconditional / negative
+    grounding: dict | None,
+    null_grounding: dict | None,
+    guidance_scale: float,
+) -> ModelFn:
+    """Fold classifier-free guidance into one batched 2B forward
+    (vs the reference's two sequential model calls, plms.py:121-127;
+    the uncond branch uses null grounding per openaimodel.py:483-487)."""
+    if uc_context is None or guidance_scale == 1:
+        def model_fn(x, t, gate):
+            return apply_eps(x, t, context, grounding, gate)
+        return model_fn
+
+    ctx2 = jnp.concatenate([context, uc_context], axis=0)
+    if grounding is not None and null_grounding is not None:
+        g2 = {
+            k: jnp.concatenate([grounding[k], null_grounding[k]], axis=0)
+            for k in grounding
+        }
+    else:
+        g2 = None
+
+    def model_fn(x, t, gate):
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        eps2 = apply_eps(x2, t2, ctx2, g2, gate)
+        e_cond, e_uncond = jnp.split(eps2, 2, axis=0)
+        return e_uncond + guidance_scale * (e_cond - e_uncond)
+
+    return model_fn

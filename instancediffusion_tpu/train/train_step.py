@@ -1,0 +1,142 @@
+"""Jitted training step (the reference's run_one_step, trainer.py:151-184),
+data-parallel over a jax.sharding.Mesh.
+
+Per step (all on device, one compiled program):
+  1. z = VAE.encode(image) — sampled latent x 0.18215 (trainer.py:153)
+  2. context = CLIP(caption ids) last_hidden_state (trainer.py:156)
+  3. t ~ Uniform{0..999} (trainer.py:157-159), eps ~ N(0,1)
+  4. x_t = q_sample(z, t, eps)
+  5. 10% full grounding drop for CFG training (openaimodel.py:489-491)
+     + UniFusion per-modality dropout (text_grounding_net.py:189-209),
+     both as traced bernoullis — one compiled graph for all draws
+  6. eps_hat = UNet(x_t, t, context, grounding); loss = MSE(eps_hat, eps)
+  7. AdamW on the trainable mask; grads sync via the psum XLA inserts for
+     the batch-sharded loss (the DDP allreduce equivalent, trainer.py:55-57)
+
+bf16 activations / fp32 params & optimizer state (reference fp16 AMP +
+GradScaler; bf16 needs no loss scaling — the NaN-skip guard is kept).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from instancediffusion_tpu.config import Config
+from instancediffusion_tpu.models import clip_text, unet, unifusion, vae
+from instancediffusion_tpu.ops.schedules import DiffusionSchedule
+from instancediffusion_tpu.train.optimizer import update_ema
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    unet_params: Any
+    ema_params: Any          # trainable-subset EMA (same tree as unet_params)
+    opt_state: Any
+    vae_params: Any          # frozen
+    clip_params: Any         # frozen
+
+
+def make_train_step(cfg: Config, diffusion: DiffusionSchedule, tx,
+                    compute_dtype=jnp.bfloat16):
+    sqrt_ac = jnp.asarray(diffusion.sqrt_alphas_cumprod)
+    sqrt_1mac = jnp.asarray(diffusion.sqrt_one_minus_alphas_cumprod)
+    gcfg = cfg.model.grounding_tokenizer
+    ema_rate = cfg.train.ema_rate
+
+    def loss_fn(unet_params, state: TrainState, batch, rng):
+        rngs = jax.random.split(rng, 8)
+        image = batch["image"].astype(compute_dtype)          # (B,H,W,3)
+        b = image.shape[0]
+
+        # 1-2: frozen encoders
+        z = vae.vae_encode(
+            state.vae_params, cfg.autoencoder, image, rngs[0]
+        ).astype(jnp.float32)
+        context = clip_text.apply_clip_text(
+            state.clip_params, cfg.text_encoder, batch["caption_ids"]
+        )["last_hidden_state"].astype(compute_dtype)
+        # caption dropout (prob_use_caption, dataset-side in the reference):
+        # zero context rows where the batch says no caption
+        if "caption_mask" in batch:
+            context = context * batch["caption_mask"][:, None, None].astype(
+                context.dtype
+            )
+
+        # 3-4: forward noising
+        t = jnp.minimum(
+            (jax.random.uniform(rngs[1], (b,)) * 1000).astype(jnp.int32), 999
+        )
+        noise = jax.random.normal(rngs[2], z.shape, jnp.float32)
+        x_t = (
+            sqrt_ac[t][:, None, None, None] * z
+            + sqrt_1mac[t][:, None, None, None] * noise
+        ).astype(compute_dtype)
+
+        # 5: grounding + dropout
+        grounding = {
+            "boxes": batch["boxes"],
+            "masks": batch["masks"],
+            "text_masks": batch.get("text_masks", batch["masks"]),
+            "positive_embeddings": batch["text_embeddings"],
+            "scribbles": batch["scribbles"],
+            "polygons": batch["polygons"],
+            "segs": batch["segs"],
+            "points": batch["points"],
+        }
+        drop_all = jax.random.uniform(rngs[3]) < 0.1
+        grounding = jax.tree_util.tree_map(
+            lambda a: jnp.where(drop_all, jnp.zeros_like(a), a), grounding
+        )
+        drops = unifusion.train_modality_drops(rngs[4], gcfg)
+
+        eps_hat = unet.apply_unet(
+            unet_params, cfg.model, x_t, t, context, grounding,
+            gate_scale=1.0, drops=drops,
+        )
+        loss = jnp.mean(
+            (eps_hat.astype(jnp.float32) - noise) ** 2
+        )
+        return loss
+
+    def train_step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.unet_params, state, batch, rng
+        )
+        # NaN-skip (trainer.py:86-113): skip the update on non-finite loss
+        ok = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.unet_params)
+        unet_params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), state.unet_params, updates
+        )
+        ema_params = update_ema(state.ema_params, unet_params, ema_rate)
+        return (
+            TrainState(
+                state.step + 1, unet_params, ema_params, opt_state,
+                state.vae_params, state.clip_params,
+            ),
+            {"loss": loss, "skipped": ~ok},
+        )
+
+    return train_step
+
+
+def init_train_state(cfg: Config, tx, seed: int = 0) -> TrainState:
+    import copy
+
+    k = jax.random.PRNGKey(seed)
+    ku, kv, kc = jax.random.split(k, 3)
+    unet_params = unet.init_unet(ku, cfg.model)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        unet_params=unet_params,
+        ema_params=copy.copy(unet_params),
+        opt_state=tx.init(unet_params),
+        vae_params=vae.init_vae(kv, cfg.autoencoder),
+        clip_params=clip_text.init_clip_text(kc, cfg.text_encoder),
+    )

@@ -1,0 +1,177 @@
+"""Golden parity: PLMS / MIS samplers vs the reference loop, using an
+analytic dummy eps-model implemented identically in torch and JAX. Exercises
+the Adams-Bashforth warm-up, CFG combine, per-step gate schedule, the
+gate==0 "restore first conv" flip, and the MIS merge + history reuse."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from ref_compat import install_reference, load_ref_function  # noqa: E402
+
+install_reference()
+
+import jax.numpy as jnp  # noqa: E402
+from functools import partial  # noqa: E402
+
+from ldm.models.diffusion.ddpm import DDPM as RefDDPM  # noqa: E402
+from ldm.models.diffusion.plms import PLMSSampler as RefPLMS  # noqa: E402
+from ldm.models.diffusion.plms_instance import PLMSSamplerInst as RefPLMSInst  # noqa: E402
+
+from instancediffusion_tpu.ops.schedules import make_diffusion_schedule  # noqa: E402
+from instancediffusion_tpu.samplers import mis as jmis  # noqa: E402
+from instancediffusion_tpu.samplers import plms as jplms  # noqa: E402
+
+ref_alpha_generator = load_ref_function("utils/model.py", "alpha_generator")
+
+S = 10
+ALPHA_TYPE = [0.5, 0.2, 0.3]
+GS = 2.0
+
+
+class RefDummyModel:
+    """eps = sin(3x + t/1000) * (1 + 0.1 mean(ctx)) * (1 + 0.05 scale)
+    + 0.01 if 'first conv restored'."""
+
+    def __init__(self):
+        self.scale = 1.0
+        self.restored = False
+
+    def __call__(self, inp):
+        x = inp["x"]
+        t = inp["timesteps"].float().view(-1, 1, 1, 1)
+        ctx = inp["context"]
+        e = torch.sin(3 * x + t / 1000.0) * (1 + 0.1 * ctx.mean()) * (
+            1 + 0.05 * self.scale
+        )
+        if self.restored:
+            e = e + 0.01
+        return e
+
+    def restore_first_conv_from_SD(self):
+        self.restored = True
+
+
+def ref_set_alpha_scale(model, alpha):
+    model.scale = alpha
+
+
+def jax_model_fn(context_mean):
+    def apply_eps(x, t, ctx_mean, gate):
+        tb = t.astype(jnp.float32).reshape(-1, 1, 1, 1)
+        e = jnp.sin(3 * x + tb / 1000.0) * (1 + 0.1 * ctx_mean) * (1 + 0.05 * gate)
+        return e + 0.01 * (gate == 0.0)
+
+    def model_fn(x, t, gate):
+        e_c = apply_eps(x, t, context_mean, gate)
+        e_u = apply_eps(x, t, jnp.float32(0.0), gate)  # uc ctx mean = 0
+        return e_u + GS * (e_c - e_u)
+
+    return model_fn
+
+
+@pytest.fixture(scope="module")
+def schedules():
+    diff = make_diffusion_schedule("linear", 1000, 0.00085, 0.012)
+    sched = jplms.make_plms_schedule(diff, S, ALPHA_TYPE)
+    ref_diff = RefDDPM(
+        beta_schedule="linear", timesteps=1000, linear_start=0.00085,
+        linear_end=0.012,
+    )
+    return sched, ref_diff
+
+
+def test_plms_parity(schedules):
+    sched, ref_diff = schedules
+    rng = np.random.RandomState(0)
+    x0 = rng.randn(2, 8, 8, 4).astype(np.float32)
+    ctx = rng.randn(2, 7, 16).astype(np.float32)
+    ctx_mean = float(ctx.mean())
+
+    # reference
+    model = RefDummyModel()
+    sampler = RefPLMS(
+        ref_diff, model,
+        alpha_generator_func=partial(ref_alpha_generator, type=ALPHA_TYPE),
+        set_alpha_scale=ref_set_alpha_scale,
+    )
+    x_t = torch.tensor(np.moveaxis(x0, -1, 1))
+    inp = {"x": x_t, "timesteps": None, "context": torch.tensor(ctx)}
+    with torch.no_grad():
+        ref_out = sampler.sample(
+            S=S, shape=x_t.shape, input=inp,
+            uc=torch.zeros_like(torch.tensor(ctx)), guidance_scale=GS,
+        )
+    ref_out = np.moveaxis(ref_out.numpy(), 1, -1)
+
+    # ours
+    ours = np.asarray(
+        jplms.plms_sample(jax_model_fn(ctx_mean), sched, jnp.asarray(x0))
+    )
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_mis_parity(schedules):
+    sched, ref_diff = schedules
+    rng = np.random.RandomState(1)
+    x0 = rng.randn(1, 8, 8, 4).astype(np.float32)
+    # three "conditionings": global + 2 instances, distinguished by ctx mean
+    ctx_means = [0.7, -0.4, 0.3]
+    mis = 0.36  # -> mis_step = 3 with S=10
+
+    model = RefDummyModel()
+    sampler = RefPLMSInst(
+        ref_diff, model,
+        alpha_generator_func=partial(ref_alpha_generator, type=ALPHA_TYPE),
+        set_alpha_scale=ref_set_alpha_scale, mis=mis,
+    )
+    x_t = torch.tensor(np.moveaxis(x0, -1, 1))
+    input_all = [
+        {
+            "x": x_t.clone(),
+            "timesteps": None,
+            "context": torch.full((1, 7, 16), m),
+        }
+        for m in ctx_means
+    ]
+    with torch.no_grad():
+        ref_out = sampler.sample(
+            S=S, shape=x_t.shape, input=input_all,
+            uc=torch.zeros(1, 7, 16), guidance_scale=GS,
+        )
+    ref_out = np.moveaxis(ref_out.numpy(), 1, -1)
+
+    # ours: trajectories stacked into batch
+    def apply_eps(x, t, ctx_mean, gate):
+        tb = t.astype(jnp.float32).reshape(-1, 1, 1, 1)
+        return (
+            jnp.sin(3 * x + tb / 1000.0) * (1 + 0.1 * ctx_mean) * (1 + 0.05 * gate)
+            + 0.01 * (gate == 0.0)
+        )
+
+    cms = jnp.asarray(ctx_means).reshape(3, 1, 1, 1)
+
+    def traj_fn(x, t, gate):
+        e_c = apply_eps(x, t, jnp.repeat(cms, 1, axis=0), gate)
+        e_u = apply_eps(x, t, jnp.float32(0.0), gate)
+        return e_u + GS * (e_c - e_u)
+
+    global_fn = jax_model_fn(ctx_means[0])
+    ours = np.asarray(
+        jmis.mis_sample(
+            traj_fn, global_fn, sched, jnp.asarray(x0), num_traj=3,
+            mis_fraction=mis,
+        )
+    )
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_mis_zero_equals_plms(schedules):
+    sched, _ = schedules
+    rng = np.random.RandomState(2)
+    x0 = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    fn = jax_model_fn(0.5)
+    a = jmis.mis_sample(fn, fn, sched, x0, num_traj=1, mis_fraction=0.0)
+    b = jplms.plms_sample(fn, sched, x0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
