@@ -45,9 +45,12 @@ def main():
     }
 
     # warm-up: compile
+    print(f"bench: compiling (B={num_images}, steps={steps})...",
+          file=sys.stderr, flush=True)
     t0 = time.time()
     imgs = pipe.generate(meta, num_images=num_images, steps=steps, mis=0.0, seed=0)
     compile_s = time.time() - t0
+    print(f"bench: compiled+ran in {compile_s:.0f}s", file=sys.stderr, flush=True)
     assert imgs.shape == (num_images, 512, 512, 3), imgs.shape
 
     # timed runs

@@ -41,6 +41,12 @@ def rle_decode(rle: dict) -> np.ndarray:
     else:
         if isinstance(counts, str):
             counts = counts.encode("ascii")
+        # native C++ fast path (native/dataops.cpp), exact NumPy fallback below
+        from instancediffusion_tpu.data._native import rle_decode_native
+
+        nat = rle_decode_native(counts, int(h), int(w))
+        if nat is not None:
+            return nat[:, :, None]
         runs = []
         i = 0
         prev = 0

@@ -352,9 +352,16 @@ def apply_unet(
     gate_scale: jnp.ndarray | float = 1.0,   # per-step alpha (traced scalar)
     drops: "unifusion.ModalityDrops | None" = None,
     fuser_mask: jnp.ndarray | None = None,   # (B,1,N64+G,N64+G) bool, ds=1 only
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
 ) -> jnp.ndarray:
-    """eps-prediction forward (openaimodel.py:482-563)."""
+    """eps-prediction forward (openaimodel.py:482-563).
+
+    attn_impl: "auto" picks the fused Pallas flash kernel on TPU when
+    cfg.efficient_attention (the reference's flash/SDPA switch,
+    attention.py:134-144), XLA einsum attention otherwise."""
+    if attn_impl == "auto":
+        on_cpu = jax.default_backend() == "cpu"
+        attn_impl = "pallas" if (cfg.efficient_attention and not on_cpu) else "xla"
     gcfg = cfg.grounding_tokenizer
     if grounding is None:
         grounding = unifusion.null_grounding(x.shape[0], cfg.max_objs, gcfg)

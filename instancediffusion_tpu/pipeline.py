@@ -43,6 +43,15 @@ class PipelineParams:
     clip: Any
 
 
+def cast_pipeline_params(params: "PipelineParams", dtype) -> "PipelineParams":
+    """bf16 inference weights: halves HBM footprint + weight-load bandwidth
+    (the reference's fp16-AMP analogue; norm math still runs fp32)."""
+    cast = lambda t: jax.tree_util.tree_map(lambda a: a.astype(dtype), t)
+    return PipelineParams(
+        unet=cast(params.unet), vae=cast(params.vae), clip=cast(params.clip)
+    )
+
+
 class InstanceDiffusionPipeline:
     def __init__(self, cfg: Config, params: PipelineParams, tokenizer=None):
         self.cfg = cfg
@@ -56,23 +65,29 @@ class InstanceDiffusionPipeline:
             cfg.diffusion.beta_schedule, cfg.diffusion.timesteps,
             cfg.diffusion.linear_start, cfg.diffusion.linear_end,
         )
-        self._encode_text = jax.jit(
-            lambda ids: clip_text.apply_clip_text(
-                self.params.clip, cfg.text_encoder, ids
+        self._encode_text_jit = jax.jit(
+            lambda clip_params, ids: clip_text.apply_clip_text(
+                clip_params, cfg.text_encoder, ids
             )
         )
 
     # -- constructors --------------------------------------------------------
 
     @classmethod
-    def random_init(cls, cfg: Config, seed: int = 0) -> "InstanceDiffusionPipeline":
+    def random_init(
+        cls, cfg: Config, seed: int = 0, param_dtype=jnp.bfloat16
+    ) -> "InstanceDiffusionPipeline":
         k = jax.random.PRNGKey(seed)
         ku, kv, kc = jax.random.split(k, 3)
+        # jit the init: eager per-op dispatch is pathologically slow over a
+        # remote-device tunnel (thousands of tiny RNG ops)
         params = PipelineParams(
-            unet=unet.init_unet(ku, cfg.model),
-            vae=vae.init_vae(kv, cfg.autoencoder),
-            clip=clip_text.init_clip_text(kc, cfg.text_encoder),
+            unet=jax.jit(lambda k: unet.init_unet(k, cfg.model))(ku),
+            vae=jax.jit(lambda k: vae.init_vae(k, cfg.autoencoder))(kv),
+            clip=jax.jit(lambda k: clip_text.init_clip_text(k, cfg.text_encoder))(kc),
         )
+        if param_dtype is not None:
+            params = cast_pipeline_params(params, param_dtype)
         return cls(cfg, params)
 
     @classmethod
@@ -91,20 +106,66 @@ class InstanceDiffusionPipeline:
 
     def encode_prompt(self, prompts: list[str]) -> jnp.ndarray:
         ids = np.stack([self.tokenizer.encode(p) for p in prompts])
-        return self._encode_text(jnp.asarray(ids))["last_hidden_state"]
+        return self._encode_text_jit(self.params.clip, jnp.asarray(ids))[
+            "last_hidden_state"
+        ]
 
     def encode_phrases(self, phrases: list[str]) -> list[np.ndarray]:
         ids = np.stack([self.tokenizer.encode(p) for p in phrases])
-        pooled = self._encode_text(jnp.asarray(ids))["pooler_output"]
+        pooled = self._encode_text_jit(self.params.clip, jnp.asarray(ids))[
+            "pooler_output"
+        ]
         return [np.asarray(pooled[i]) for i in range(len(phrases))]
 
     # -- sampling ------------------------------------------------------------
+    #
+    # Everything large (params, conditioning, schedule) is a jit ARGUMENT —
+    # closure-captured arrays would be inlined as XLA constants, blowing the
+    # program size (the axon remote-compile tunnel rejects GB-scale bodies).
+    # Jitted sample fns are cached per static signature.
 
-    def _apply_eps(self, x, t, context, grounding, gate):
-        mcfg = self.cfg.model
-        return unet.apply_unet(
-            self.params.unet, mcfg, x, t, context, grounding, gate_scale=gate,
-        )
+    def _make_sample_fn(self, gs: float, num_traj: int, mis_step: int,
+                        compute_dtype=jnp.bfloat16):
+        cfg = self.cfg
+
+        def apply_eps(unet_params, x, t, context, grounding, gate):
+            # sampler state is fp32; the UNet runs in compute_dtype
+            return unet.apply_unet(
+                unet_params, cfg.model, x.astype(compute_dtype), t, context,
+                grounding, gate_scale=gate,
+            )
+
+        def sample_fn(unet_params, vae_params, sched, cond, x_init):
+            eps = partial(apply_eps, unet_params)
+            global_fn = build_cfg_model_fn(
+                eps, cond["context"], cond["uc"], cond["grounding"],
+                cond["null_g"], gs,
+            )
+            if num_traj > 1 and mis_step > 0:
+                traj_fn = build_cfg_model_fn(
+                    eps, cond["ctx_stack"], cond["uc_stack"],
+                    cond["g_stack"], cond["null_stack"], gs,
+                )
+                z = mis_mod.mis_sample(
+                    traj_fn, global_fn, sched, x_init, num_traj,
+                    mis_step=mis_step,
+                )
+            else:
+                z = plms_sample(global_fn, sched, x_init)
+            return vae.vae_decode(
+                vae_params, cfg.autoencoder, z.astype(jnp.float32)
+            )
+
+        return jax.jit(sample_fn)
+
+    _sample_cache: dict = None
+
+    def _get_sample_fn(self, key):
+        if self._sample_cache is None:
+            self._sample_cache = {}
+        if key not in self._sample_cache:
+            self._sample_cache[key] = self._make_sample_fn(*key)
+        return self._sample_cache[key]
 
     def generate(
         self,
@@ -147,8 +208,12 @@ class InstanceDiffusionPipeline:
             num_images, mcfg.max_objs, mcfg.grounding_tokenizer
         )
 
-        context = context.astype(compute_dtype)
-        uc = uc.astype(compute_dtype)
+        cond = {
+            "context": context.astype(compute_dtype),
+            "uc": uc.astype(compute_dtype),
+            "grounding": grounding,
+            "null_g": null_g,
+        }
 
         rng = jax.random.PRNGKey(seed)
         x_init = jax.random.normal(
@@ -156,11 +221,12 @@ class InstanceDiffusionPipeline:
         ).astype(compute_dtype)
 
         num_traj = 1 + len(meta["phrases"]) if mis > 0 else 1
+        mis_step = int(steps * mis) if num_traj > 1 else 0
 
-        if num_traj > 1 and int(steps * mis) > 0:
+        if num_traj > 1 and mis_step > 0:
             # per-instance trajectory conditioning (inference.py:83-88)
             inst_groundings = [grounding]
-            inst_contexts = [context]
+            inst_contexts = [cond["context"]]
             for i in range(len(meta["phrases"])):
                 im = prepare_instance_meta(meta, i)
                 ig = prepare_grounding(
@@ -174,41 +240,16 @@ class InstanceDiffusionPipeline:
                         compute_dtype
                     )
                 )
-            g_stack = mis_mod.stack_groundings(inst_groundings)
-            ctx_stack = jnp.concatenate(inst_contexts, axis=0)
-            uc_stack = jnp.tile(uc, (num_traj, 1, 1))
-            null_stack = unifusion.null_grounding(
+            cond["g_stack"] = mis_mod.stack_groundings(inst_groundings)
+            cond["ctx_stack"] = jnp.concatenate(inst_contexts, axis=0)
+            cond["uc_stack"] = jnp.tile(cond["uc"], (num_traj, 1, 1))
+            cond["null_stack"] = unifusion.null_grounding(
                 num_traj * num_images, mcfg.max_objs, mcfg.grounding_tokenizer
             )
 
-            traj_fn = build_cfg_model_fn(
-                self._apply_eps, ctx_stack, uc_stack, g_stack, null_stack, gs
-            )
-            global_fn = build_cfg_model_fn(
-                self._apply_eps, context, uc, grounding, null_g, gs
-            )
-
-            @jax.jit
-            def sample_fn(x_init):
-                z = mis_mod.mis_sample(
-                    traj_fn, global_fn, sched, x_init, num_traj, mis
-                )
-                return vae.vae_decode(
-                    self.params.vae, self.cfg.autoencoder, z.astype(jnp.float32)
-                )
-
-        else:
-            model_fn = build_cfg_model_fn(
-                self._apply_eps, context, uc, grounding, null_g, gs
-            )
-
-            @jax.jit
-            def sample_fn(x_init):
-                z = plms_sample(model_fn, sched, x_init)
-                return vae.vae_decode(
-                    self.params.vae, self.cfg.autoencoder, z.astype(jnp.float32)
-                )
-
-        images = sample_fn(x_init)
+        sample_fn = self._get_sample_fn((gs, num_traj, mis_step))
+        images = sample_fn(
+            self.params.unet, self.params.vae, sched, cond, x_init
+        )
         images = np.asarray(jnp.clip(images, -1, 1) * 0.5 + 0.5)
         return (images * 255).astype(np.uint8)

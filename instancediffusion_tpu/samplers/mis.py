@@ -34,12 +34,14 @@ def mis_sample(
     sched: PLMSSchedule,
     x_init: jnp.ndarray,       # (B, H, W, C) shared starting noise
     num_traj: int,             # k+1 (global + k instances)
-    mis_fraction: float,
+    mis_fraction: float | None = None,
     merge: str = "mean",
     boxes01: jnp.ndarray | None = None,  # (k, 4) xyxy in [0,1], for merge="crop"
+    mis_step: int | None = None,         # overrides mis_fraction when given
 ) -> jnp.ndarray:
     s = sched.num_steps
-    mis_step = int(s * mis_fraction)
+    if mis_step is None:
+        mis_step = int(s * mis_fraction)
     if mis_step == 0 or num_traj <= 1:
         x, _, _ = plms_steps(global_model_fn, sched, x_init, 0, s)
         return x

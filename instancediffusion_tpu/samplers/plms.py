@@ -40,7 +40,8 @@ ModelFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 @dataclass(frozen=True)
 class PLMSSchedule:
-    """Per-step arrays in loop order (descending t). All float32 numpy."""
+    """Per-step arrays in loop order (descending t). All float32 numpy.
+    Registered as a pytree so schedules can be passed as jit arguments."""
 
     ts: np.ndarray           # (S,) int32 current timesteps
     ts_next: np.ndarray      # (S,) int32 next timesteps (for step-0 Euler)
@@ -54,6 +55,13 @@ class PLMSSchedule:
         return int(self.ts.shape[0])
 
 
+jax.tree_util.register_pytree_node(
+    PLMSSchedule,
+    lambda s: ((s.ts, s.ts_next, s.a_t, s.a_prev, s.sqrt_one_minus_a_t, s.gates), None),
+    lambda _, c: PLMSSchedule(*c),
+)
+
+
 def make_plms_schedule(
     diffusion: DiffusionSchedule,
     num_steps: int,
@@ -62,6 +70,13 @@ def make_plms_schedule(
     """PLMSSampler.make_schedule (plms.py:25-62) + alpha_generator, re-indexed
     into loop order: reference loops i over flip(ddim_timesteps) with buffer
     index = S-1-i."""
+    if diffusion.num_timesteps % num_steps != 0:
+        raise ValueError(
+            f"num_steps ({num_steps}) must divide the DDPM timestep count "
+            f"({diffusion.num_timesteps}); the uniform DDIM subset would "
+            "otherwise index past the schedule (same constraint as the "
+            "reference's make_ddim_timesteps, util.py:55-58)."
+        )
     ddim_ts = make_ddim_timesteps("uniform", num_steps, diffusion.num_timesteps)
     _, ddim_alphas, ddim_alphas_prev = make_ddim_sampling_parameters(
         diffusion.alphas_cumprod.astype(np.float64), ddim_ts, eta=0.0
@@ -129,9 +144,16 @@ def plms_steps(
 
     hist/n_hist allow resuming with existing eps history (MIS phase 2
     reuses trajectory-0 history across the merge, plms_instance.py:108-109).
-    Returns (x, hist, n_hist)."""
+    Returns (x, hist, n_hist).
+
+    Sampler state (x, eps history, schedule math) is float32 regardless of
+    the model's compute dtype — model_fn is responsible for casting its
+    input down (bf16) and its eps output is upcast here."""
+    x = x.astype(jnp.float32)
     if hist is None:
-        hist = jnp.zeros((3,) + x.shape, x.dtype)
+        hist = jnp.zeros((3,) + x.shape, jnp.float32)
+    else:
+        hist = hist.astype(jnp.float32)
     n_hist = jnp.asarray(n_hist, jnp.int32)
 
     arrays = jax.tree_util.tree_map(
@@ -146,7 +168,7 @@ def plms_steps(
         x, hist, n_hist = carry
         ts, ts_next, a_t, a_prev, sqrt_1m, gate = per_step
         tb = jnp.full((b,), ts, jnp.int32)
-        fn = lambda xx, tt: model_fn(xx, tt, gate)
+        fn = lambda xx, tt: model_fn(xx, tt, gate).astype(jnp.float32)
         e_t = fn(x, tb)
         coeffs = (tb, jnp.full((b,), ts_next, jnp.int32), a_t, a_prev, sqrt_1m)
         e_prime = _e_t_prime(fn, x, e_t, hist, n_hist, coeffs)

@@ -1,0 +1,70 @@
+"""Pallas flash attention vs the XLA reference path (interpret mode on CPU;
+the same kernel compiles via Mosaic on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from instancediffusion_tpu.kernels.flash_attention import (
+    flash_attention, instance_labels,
+)
+from instancediffusion_tpu.ops.attention import sdpa_xla
+from instancediffusion_tpu.ops.instance_mask import build_fuser_mask
+
+
+def _qkv(rng, b, h, n, m, c):
+    q = rng.standard_normal((b, h, n, c), dtype=np.float32)
+    k = rng.standard_normal((b, h, m, c), dtype=np.float32)
+    v = rng.standard_normal((b, h, m, c), dtype=np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize(
+    "n,m,c", [(256, 256, 40), (256, 77, 64), (300, 77, 40)]
+)
+def test_flash_matches_xla(n, m, c):
+    rng = np.random.default_rng(0)
+    q, k, v = _qkv(rng, 1, 2, n, m, c)
+    ref = sdpa_xla(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_labeled_matches_masked_xla():
+    s, n_objs, seg = 8, 3, 4
+    ntot = s * s + 4 * n_objs + seg  # 80
+    att = np.zeros((1, n_objs, s, s), np.float32)
+    att[0, 0, 1:4, 2:6] = 1
+    att[0, 1, 3:7, 0:3] = 1
+    att[0, 2, 5:8, 5:8] = 1
+    att = jnp.asarray(att)
+
+    rng = np.random.default_rng(1)
+    q, k, v = _qkv(rng, 1, 2, ntot, ntot, 32)
+
+    dense = build_fuser_mask(att, seg_tokens=seg)
+    ref = sdpa_xla(q, k, v, mask=dense)
+
+    labels = instance_labels(att, n_objs, seg)
+    out = flash_attention(
+        q, k, v, labels=labels, block_q=16, block_k=16, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_labeled_null_sample_unmasked():
+    """A sample with all-zero att_masks must behave as unmasked attention
+    (the CFG null half shares the batched forward)."""
+    s, n_objs, seg = 4, 2, 4
+    ntot = s * s + 4 * n_objs + seg
+    att = jnp.zeros((1, n_objs, s, s), jnp.float32)
+    rng = np.random.default_rng(2)
+    q, k, v = _qkv(rng, 1, 1, ntot, ntot, 16)
+    labels = instance_labels(att, n_objs, seg)
+    out = flash_attention(
+        q, k, v, labels=labels, block_q=16, block_k=16, interpret=True
+    )
+    ref = sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)

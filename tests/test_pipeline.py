@@ -1,0 +1,117 @@
+"""End-to-end pipeline smoke tests on a tiny config (CPU): demo meta ->
+images, PLMS and MIS paths, determinism, CLI demo-JSON parsing."""
+
+import json
+
+import numpy as np
+import pytest
+
+from instancediffusion_tpu.config import (
+    Config, TextEncoderConfig, UNetConfig, UniFusionConfig, VAEConfig,
+)
+from instancediffusion_tpu.pipeline import InstanceDiffusionPipeline
+
+
+def tiny_config() -> Config:
+    gcfg = UniFusionConfig(
+        in_dim=32, out_dim=32, mid_dim=32, fourier_freqs=4,
+        fourier_freqs_polygons=4, n_scribble_points=4, n_polygon_points=8,
+        seg_channels=4, seg_resize_input=64,
+    )
+    return Config(
+        model=UNetConfig(
+            image_size=8, model_channels=32, num_heads=4, context_dim=32,
+            max_objs=4, grounding_tokenizer=gcfg,
+        ),
+        autoencoder=VAEConfig(ch=32, ch_mult=(1, 2), resolution=64),
+        text_encoder=TextEncoderConfig(
+            vocab_size=512, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+        ),
+    )
+
+
+META = {
+    "prompt": "two shapes",
+    "phrases": ["a red square", "a blue circle"],
+    "locations": [[0.1, 0.1, 0.5, 0.5], [0.6, 0.6, 0.9, 0.9]],
+    "points": [[0.3, 0.3], [0.75, 0.75]],
+    "alpha_type": [0.75, 0.0, 0.25],
+}
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = tiny_config()
+    return InstanceDiffusionPipeline.random_init(cfg, seed=0)
+
+
+def _patch_meta(pipe):
+    # tiny config has shorter scribble/polygon/seg dims; adapt meta
+    g = pipe.cfg.model.grounding_tokenizer
+    meta = dict(META)
+    meta["scribbles"] = [[0.2] * (g.n_scribble_points * 2)] * 2
+    meta["polygons"] = [[0.3] * (g.n_polygon_points * 2)] * 2
+    meta["segs"] = None
+    return meta
+
+
+def test_generate_plms(pipe):
+    import instancediffusion_tpu.data.grounding_input as gi
+
+    meta = _patch_meta(pipe)
+    g = pipe.cfg.model.grounding_tokenizer
+    old = (gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE)
+    gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = (
+        g.n_scribble_points, g.n_polygon_points, g.seg_resize_input,
+    )
+    try:
+        imgs = pipe.generate(meta, num_images=2, steps=5, mis=0.0, seed=1)
+        # VAE upscale = 2^(len(ch_mult)-1) = 2 for the tiny (1,2) config
+        size = pipe.cfg.model.image_size * 2
+        assert imgs.shape == (2, size, size, 3)
+        assert imgs.dtype == np.uint8
+        # determinism: same seed -> same images
+        imgs2 = pipe.generate(meta, num_images=2, steps=5, mis=0.0, seed=1)
+        np.testing.assert_array_equal(imgs, imgs2)
+        # different seed -> different images
+        imgs3 = pipe.generate(meta, num_images=2, steps=5, mis=0.0, seed=2)
+        assert not np.array_equal(imgs, imgs3)
+
+        # MIS path: 2 instances -> 3 trajectories
+        imgs4 = pipe.generate(meta, num_images=1, steps=5, mis=0.4, seed=1)
+        assert imgs4.shape == (1, size, size, 3)
+    finally:
+        gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = old
+
+
+def test_demo_json_parsing(tmp_path):
+    from instancediffusion_tpu.inference import parse_demo_json
+
+    demo = {
+        "caption": "a scene",
+        "width": 256,
+        "height": 256,
+        "annos": [
+            {"bbox": [10, 20, 100, 120], "mask": [], "caption": "a dog"},
+            {"bbox": [150, 30, 80, 90], "mask": [], "caption": "a cat",
+             "point": [190, 75]},
+        ],
+    }
+    p = tmp_path / "demo.json"
+    p.write_text(json.dumps(demo))
+    meta = parse_demo_json(str(p), rng=np.random.default_rng(0))
+    assert meta["prompt"] == "a scene"
+    assert meta["phrases"] == ["a dog", "a cat"]
+    np.testing.assert_allclose(
+        meta["locations"][0],
+        [10 / 256, 20 / 256, 110 / 256, 140 / 256],
+    )
+    # explicit point honored when ALL annos have points; here only one anno
+    # has a point -> box centers used (inference.py:243-246 semantics)
+    np.testing.assert_allclose(
+        meta["points"][0], [(10 + 110) / 2 / 256, (20 + 140) / 2 / 256]
+    )
+    # masks are zeroed by default (reference quirk) -> polygons all zero
+    assert all(v == 0 for v in meta["polygons"][0])
+    assert len(meta["scribbles"][0]) == 40
