@@ -353,26 +353,35 @@ def apply_unet(
     drops: "unifusion.ModalityDrops | None" = None,
     fuser_mask: jnp.ndarray | None = None,   # (B,1,N64+G,N64+G) bool, ds=1 only
     attn_impl: str = "auto",
+    precomputed_objs: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """eps-prediction forward (openaimodel.py:482-563).
 
     attn_impl: "auto" picks the fused Pallas flash kernel on TPU when
     cfg.efficient_attention (the reference's flash/SDPA switch,
-    attention.py:134-144), XLA einsum attention otherwise."""
+    attention.py:134-144), XLA einsum attention otherwise.
+
+    precomputed_objs: grounding tokens computed once outside a sampling
+    scan — they are timestep-invariant, so samplers hoist UniFusion
+    (including the ConvNeXt seg encoder) out of the 50-step loop instead of
+    re-running it per step like the reference (openaimodel.py:494)."""
     if attn_impl == "auto":
         on_cpu = jax.default_backend() == "cpu"
         attn_impl = "pallas" if (cfg.efficient_attention and not on_cpu) else "xla"
     gcfg = cfg.grounding_tokenizer
-    if grounding is None:
-        grounding = unifusion.null_grounding(x.shape[0], cfg.max_objs, gcfg)
-    if drops is None:
-        drops = unifusion.ModalityDrops.test_defaults(gcfg)
 
-    # Grounding tokens: (B, G, out_dim); G = 4*max_objs + 64 seg tokens
-    objs, drop_box_mask = unifusion.apply_unifusion(
-        params["position_net"], gcfg, grounding, drops
-    )
-    del drop_box_mask  # folded into fuser_mask by the mask builder
+    if precomputed_objs is not None:
+        objs = precomputed_objs
+    else:
+        if grounding is None:
+            grounding = unifusion.null_grounding(x.shape[0], cfg.max_objs, gcfg)
+        if drops is None:
+            drops = unifusion.ModalityDrops.test_defaults(gcfg)
+        # Grounding tokens: (B, G, out_dim); G = 4*max_objs + 64 seg tokens
+        objs, drop_box_mask = unifusion.apply_unifusion(
+            params["position_net"], gcfg, grounding, drops
+        )
+        del drop_box_mask  # folded into fuser_mask by the mask builder
 
     gate_scale = jnp.asarray(gate_scale, jnp.float32)
 

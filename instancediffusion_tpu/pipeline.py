@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from functools import partial
 from typing import Any
 
 import jax
@@ -29,11 +28,30 @@ from instancediffusion_tpu.data.grounding_input import (
 from instancediffusion_tpu.models import clip_text, unet, unifusion, vae
 from instancediffusion_tpu.ops.schedules import make_diffusion_schedule
 from instancediffusion_tpu.samplers import mis as mis_mod
-from instancediffusion_tpu.samplers.plms import (
-    build_cfg_model_fn,
-    make_plms_schedule,
-    plms_sample,
-)
+from instancediffusion_tpu.samplers.plms import make_plms_schedule, plms_sample
+
+
+_CACHE_SET = False
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: the 50-step sampler graph takes
+    minutes to compile; cache hits make process restarts near-instant."""
+    global _CACHE_SET
+    if _CACHE_SET:
+        return
+    _CACHE_SET = True
+    import os
+
+    cache_dir = os.environ.get(
+        "IDTPU_COMPILE_CACHE", os.path.expanduser("~/.cache/idtpu_xla")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
 
 @dataclass
@@ -61,6 +79,7 @@ class InstanceDiffusionPipeline:
 
             tokenizer = CLIPTokenizer.load_default()
         self.tokenizer = tokenizer
+        _enable_compilation_cache()
         self.diffusion = make_diffusion_schedule(
             cfg.diffusion.beta_schedule, cfg.diffusion.timesteps,
             cfg.diffusion.linear_start, cfg.diffusion.linear_end,
@@ -117,6 +136,19 @@ class InstanceDiffusionPipeline:
         ]
         return [np.asarray(pooled[i]) for i in range(len(phrases))]
 
+    @staticmethod
+    def _to_device_grounding(g_np: dict, batch: int) -> dict:
+        """Host grounding -> device, skipping the transfer for all-zero
+        tensors (the 512x512x max_objs segs array is ~125MB/batch over a
+        remote-device link; zeros are created on-device instead)."""
+        out = {}
+        for k, v in g_np.items():
+            if v.size > 1_000_000 and not np.any(v):
+                out[k] = jnp.zeros(v.shape, v.dtype)
+            else:
+                out[k] = jnp.asarray(v)
+        return out
+
     # -- sampling ------------------------------------------------------------
     #
     # Everything large (params, conditioning, schedule) is a jit ARGUMENT —
@@ -127,24 +159,56 @@ class InstanceDiffusionPipeline:
     def _make_sample_fn(self, gs: float, num_traj: int, mis_step: int,
                         compute_dtype=jnp.bfloat16):
         cfg = self.cfg
+        gcfg = cfg.model.grounding_tokenizer
+        drops = unifusion.ModalityDrops.test_defaults(gcfg)
 
-        def apply_eps(unet_params, x, t, context, grounding, gate):
-            # sampler state is fp32; the UNet runs in compute_dtype
-            return unet.apply_unet(
-                unet_params, cfg.model, x.astype(compute_dtype), t, context,
-                grounding, gate_scale=gate,
+        def make_cfg_fn(unet_params, context, uc, grounding, null_g):
+            """CFG as one batched 2x forward over precomputed grounding
+            tokens — UniFusion (incl. the ConvNeXt seg encoder) runs ONCE
+            per sampling run, not per scan step: grounding tokens are
+            timestep-invariant (vs openaimodel.py:494 recomputing them in
+            every forward)."""
+            objs_c, _ = unifusion.apply_unifusion(
+                unet_params["position_net"], gcfg, grounding, drops
             )
+            if uc is None or gs == 1:
+                ctx = context
+
+                def model_fn(x, t, gate):
+                    return unet.apply_unet(
+                        unet_params, cfg.model, x.astype(compute_dtype), t,
+                        ctx, None, gate_scale=gate, precomputed_objs=objs_c,
+                    )
+
+                return model_fn
+
+            objs_u, _ = unifusion.apply_unifusion(
+                unet_params["position_net"], gcfg, null_g, drops
+            )
+            objs2 = jnp.concatenate([objs_c, objs_u], axis=0)
+            ctx2 = jnp.concatenate([context, uc], axis=0)
+
+            def model_fn(x, t, gate):
+                x2 = jnp.concatenate([x, x], axis=0)
+                t2 = jnp.concatenate([t, t], axis=0)
+                eps2 = unet.apply_unet(
+                    unet_params, cfg.model, x2.astype(compute_dtype), t2,
+                    ctx2, None, gate_scale=gate, precomputed_objs=objs2,
+                )
+                e_cond, e_uncond = jnp.split(eps2, 2, axis=0)
+                return e_uncond + gs * (e_cond - e_uncond)
+
+            return model_fn
 
         def sample_fn(unet_params, vae_params, sched, cond, x_init):
-            eps = partial(apply_eps, unet_params)
-            global_fn = build_cfg_model_fn(
-                eps, cond["context"], cond["uc"], cond["grounding"],
-                cond["null_g"], gs,
+            global_fn = make_cfg_fn(
+                unet_params, cond["context"], cond["uc"], cond["grounding"],
+                cond["null_g"],
             )
             if num_traj > 1 and mis_step > 0:
-                traj_fn = build_cfg_model_fn(
-                    eps, cond["ctx_stack"], cond["uc_stack"],
-                    cond["g_stack"], cond["null_stack"], gs,
+                traj_fn = make_cfg_fn(
+                    unet_params, cond["ctx_stack"], cond["uc_stack"],
+                    cond["g_stack"], cond["null_stack"],
                 )
                 z = mis_mod.mis_sample(
                     traj_fn, global_fn, sched, x_init, num_traj,
@@ -203,7 +267,7 @@ class InstanceDiffusionPipeline:
             meta, phrase_emb, batch=num_images, max_objs=mcfg.max_objs,
             in_dim=mcfg.grounding_tokenizer.in_dim,
         )
-        grounding = {k: jnp.asarray(v) for k, v in g_np.items()}
+        grounding = self._to_device_grounding(g_np, num_images)
         null_g = unifusion.null_grounding(
             num_images, mcfg.max_objs, mcfg.grounding_tokenizer
         )
@@ -234,7 +298,9 @@ class InstanceDiffusionPipeline:
                     max_objs=mcfg.max_objs,
                     in_dim=mcfg.grounding_tokenizer.in_dim,
                 )
-                inst_groundings.append({k: jnp.asarray(v) for k, v in ig.items()})
+                inst_groundings.append(
+                    self._to_device_grounding(ig, num_images)
+                )
                 inst_contexts.append(
                     self.encode_prompt([im["prompt"]] * num_images).astype(
                         compute_dtype

@@ -71,10 +71,13 @@ def mis_sample(
     else:
         x = jnp.mean(xs, axis=0)
 
-    # Phase 2: global conditioning, trajectory-0 history carried over
+    # Phase 2: global conditioning, trajectory-0 history carried over;
+    # mis_step >= 1 guarantees history exists, so the order-1 branch (and
+    # its extra in-scan UNet instance) is compiled out
     hist0 = hist.reshape(3, num_traj, b, *x_init.shape[1:])[:, 0]
     x, _, _ = plms_steps(
-        global_model_fn, sched, x, mis_step, s, hist=hist0, n_hist=n_hist
+        global_model_fn, sched, x, mis_step, s, hist=hist0, n_hist=n_hist,
+        assume_history=True,
     )
     return x
 

@@ -104,11 +104,15 @@ def _x_prev(x, e_t, a_t, a_prev, sqrt_1m_at):
     return jnp.sqrt(a_prev) * pred_x0 + dir_xt
 
 
-def _e_t_prime(model_fn, x, e_t, hist, n_hist, coeffs):
+def _e_t_prime(model_fn, x, e_t, hist, n_hist, coeffs, skip_order1=False):
     """Adams-Bashforth combine with warm-up (plms.py:148-163).
 
     hist: (3, ...) rolling eps history, hist[2] newest.
-    n_hist: traced int — number of valid history entries (capped at 3)."""
+    n_hist: traced int — number of valid history entries (capped at 3).
+    skip_order1: the caller guarantees n_hist >= 1 (the first step was
+    peeled out of the scan), so the order-1 branch — the only one with a
+    second model call — is dropped, leaving exactly ONE UNet instance in
+    the scan body (halves compile time and peak activation memory)."""
     ts, ts_next, a_t, a_prev, sqrt_1m = coeffs
 
     def order1(_):
@@ -126,6 +130,10 @@ def _e_t_prime(model_fn, x, e_t, hist, n_hist, coeffs):
     def order4(_):
         return (55 * e_t - 59 * hist[2] + 37 * hist[1] - 9 * hist[0]) / 24
 
+    if skip_order1:
+        return jax.lax.switch(
+            jnp.minimum(n_hist, 3) - 1, [order2, order3, order4], None
+        )
     return jax.lax.switch(
         jnp.minimum(n_hist, 3), [order1, order2, order3, order4], None
     )
@@ -139,6 +147,7 @@ def plms_steps(
     stop: int,
     hist: jnp.ndarray | None = None,
     n_hist: jnp.ndarray | int = 0,
+    assume_history: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run PLMS steps [start, stop) as a lax.scan.
 
@@ -150,19 +159,44 @@ def plms_steps(
     the model's compute dtype — model_fn is responsible for casting its
     input down (bf16) and its eps output is upcast here."""
     x = x.astype(jnp.float32)
+    peel_first = hist is None
     if hist is None:
         hist = jnp.zeros((3,) + x.shape, jnp.float32)
     else:
         hist = hist.astype(jnp.float32)
     n_hist = jnp.asarray(n_hist, jnp.int32)
+    b = x.shape[0]
+
+    def make_step_inputs(i):
+        return (
+            jnp.full((b,), sched.ts[i], jnp.int32),
+            jnp.full((b,), sched.ts_next[i], jnp.int32),
+            sched.a_t[i], sched.a_prev[i], sched.sqrt_one_minus_a_t[i],
+            sched.gates[i],
+        )
+
+    if peel_first and stop > start:
+        # first step outside the scan: order-1 pseudo improved Euler with
+        # its extra model call lives here, so the scan body below carries a
+        # single UNet instance
+        tb, tnb, a_t, a_prev, sqrt_1m, gate = make_step_inputs(start)
+        fn = lambda xx, tt: model_fn(xx, tt, gate).astype(jnp.float32)
+        e_t = fn(x, tb)
+        e_prime = _e_t_prime(
+            fn, x, e_t, hist, jnp.int32(0), (tb, tnb, a_t, a_prev, sqrt_1m)
+        )
+        x = _x_prev(x, e_prime, a_t, a_prev, sqrt_1m)
+        hist = jnp.concatenate([hist[1:], e_t[None]], axis=0)
+        n_hist = jnp.int32(1)
+        start = start + 1
+        if start == stop:
+            return x, hist, n_hist
 
     arrays = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a[start:stop]),
         (sched.ts, sched.ts_next, sched.a_t, sched.a_prev,
          sched.sqrt_one_minus_a_t, sched.gates),
     )
-
-    b = x.shape[0]
 
     def step(carry, per_step):
         x, hist, n_hist = carry
@@ -171,7 +205,10 @@ def plms_steps(
         fn = lambda xx, tt: model_fn(xx, tt, gate).astype(jnp.float32)
         e_t = fn(x, tb)
         coeffs = (tb, jnp.full((b,), ts_next, jnp.int32), a_t, a_prev, sqrt_1m)
-        e_prime = _e_t_prime(fn, x, e_t, hist, n_hist, coeffs)
+        e_prime = _e_t_prime(
+            fn, x, e_t, hist, n_hist, coeffs,
+            skip_order1=peel_first or assume_history,
+        )
         x = _x_prev(x, e_prime, a_t, a_prev, sqrt_1m)
         hist = jnp.concatenate([hist[1:], e_t[None]], axis=0)
         return (x, hist, jnp.minimum(n_hist + 1, 3)), None

@@ -109,7 +109,7 @@ def test_plms_parity(schedules):
     ours = np.asarray(
         jplms.plms_sample(jax_model_fn(ctx_mean), sched, jnp.asarray(x0))
     )
-    np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-3, atol=1e-4)
 
 
 def test_mis_parity(schedules):
@@ -164,7 +164,7 @@ def test_mis_parity(schedules):
             mis_fraction=mis,
         )
     )
-    np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-3, atol=1e-4)
 
 
 def test_mis_zero_equals_plms(schedules):
