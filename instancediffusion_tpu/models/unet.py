@@ -253,8 +253,62 @@ def _apply_spatial_transformer(
 
 
 def fourier_filter(x: jnp.ndarray, threshold: int, scale: jnp.ndarray) -> jnp.ndarray:
-    """Low-frequency rescale of an NHWC tensor via a 2D FFT. `scale` may be a
-    traced scalar (a ScaleU parameter). fp32 compute."""
+    """Low-frequency rescale of an NHWC tensor (openaimodel.py:25-48
+    semantics). `scale` may be a traced scalar (a ScaleU parameter).
+
+    For the live configuration (threshold=1) the FFT mask touches exactly
+    the frequency bins {0, -1} x {0, -1}, so instead of a full 2D FFT pair
+    (~17% of UNet forward time on TPU) we project onto those four Fourier
+    modes with four small contractions:
+        filtered = x + (s - 1) * P(x),
+        P(x) = Re[ conj(A) (A^T x B) conj(B)^T ] / (H*W),
+    with A = [1, e^{-2pi i r/H}], B = [1, e^{-2pi i c/W}] — algebraically
+    identical to the masked-FFT result (see test_scaleu_filter)."""
+    if threshold != 1:
+        return _fourier_filter_fft(x, threshold, scale)
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    _, h, w, _ = x.shape
+    # complex bases as stacked (real, imag): shape (H, 2 modes, 2 parts)
+    rh = jnp.arange(h, dtype=jnp.float32) * (2.0 * jnp.pi / h)
+    rw = jnp.arange(w, dtype=jnp.float32) * (2.0 * jnp.pi / w)
+    a = jnp.stack(
+        [jnp.stack([jnp.ones_like(rh), jnp.zeros_like(rh)], -1),
+         jnp.stack([jnp.cos(rh), -jnp.sin(rh)], -1)], 1
+    )  # (H, 2, 2): A[r, m] = e^{-2pi i m r / H} as (re, im)
+    b = jnp.stack(
+        [jnp.stack([jnp.ones_like(rw), jnp.zeros_like(rw)], -1),
+         jnp.stack([jnp.cos(rw), -jnp.sin(rw)], -1)], 1
+    )  # (W, 2, 2)
+
+    # inner[m, n] = sum_{r,c} A[r,m] * x[r,c] * B[c,n]  (complex)
+    t_re = jnp.einsum("bhwc,hm->bmwc", xf, a[..., 0])
+    t_im = jnp.einsum("bhwc,hm->bmwc", xf, a[..., 1])
+    in_re = jnp.einsum("bmwc,wn->bmnc", t_re, b[..., 0]) - jnp.einsum(
+        "bmwc,wn->bmnc", t_im, b[..., 1]
+    )
+    in_im = jnp.einsum("bmwc,wn->bmnc", t_re, b[..., 1]) + jnp.einsum(
+        "bmwc,wn->bmnc", t_im, b[..., 0]
+    )
+    # proj = Re[ conj(A) inner conj(B)^T ]: conj flips the sign of im parts
+    u_re = jnp.einsum("hm,bmnc->bhnc", a[..., 0], in_re) + jnp.einsum(
+        "hm,bmnc->bhnc", a[..., 1], in_im
+    )
+    proj = (
+        jnp.einsum("bhnc,wn->bhwc", u_re, b[..., 0])
+        + jnp.einsum(
+            "bhnc,wn->bhwc",
+            jnp.einsum("hm,bmnc->bhnc", a[..., 0], in_im)
+            - jnp.einsum("hm,bmnc->bhnc", a[..., 1], in_re),
+            b[..., 1],
+        )
+    ) / (h * w)
+    out = xf + (scale.astype(jnp.float32) - 1.0) * proj
+    return out.astype(dtype)
+
+
+def _fourier_filter_fft(x, threshold, scale):
+    """General-threshold FFT path (reference formulation)."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     _, h, w, _ = x.shape
@@ -266,7 +320,7 @@ def fourier_filter(x: jnp.ndarray, threshold: int, scale: jnp.ndarray) -> jnp.nd
     in_r = (rows >= crow - threshold) & (rows < crow + threshold)
     in_c = (cols >= ccol - threshold) & (cols < ccol + threshold)
     region = in_r[:, None] & in_c[None, :]
-    mask = jnp.where(region[None, :, :, None], scale.astype(jnp.float32), 1.0)
+    mask = jnp.where(region[None, :, :, None], jnp.asarray(scale, jnp.float32), 1.0)
     x_freq = x_freq * mask
     x_freq = jnp.fft.ifftshift(x_freq, axes=(1, 2))
     out = jnp.fft.ifftn(x_freq, axes=(1, 2)).real

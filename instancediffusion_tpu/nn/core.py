@@ -127,21 +127,34 @@ def group_norm(
 ) -> jnp.ndarray:
     """GroupNorm over the last (channel) axis of an NHWC / (B,N,C) tensor.
 
-    fp32 compute regardless of input dtype (GroupNorm32, util.py:223-225).
-    """
+    fp32 statistics regardless of input dtype (GroupNorm32 semantics,
+    util.py:223-225). fp32 inputs normalize fully in fp32 (bit-parity with
+    the reference); bf16 inputs accumulate stats in fp32 but keep the
+    elementwise normalize in bf16, avoiding two full fp32 HBM round-trips
+    per norm (~6% of UNet forward time)."""
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    c = xf.shape[-1]
-    spatial = xf.shape[1:-1]
-    b = xf.shape[0]
+    c = x.shape[-1]
+    spatial = x.shape[1:-1]
+    b = x.shape[0]
     g = num_groups
-    xg = xf.reshape(b, -1, g, c // g)  # (B, S, G, C/G)
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = xg.var(axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    xf = xg.reshape(b, *spatial, c)
-    xf = xf * p["scale"] + p["bias"]
-    return xf.astype(orig_dtype)
+    if orig_dtype == jnp.float32:
+        xg = x.reshape(b, -1, g, c // g)
+        mean = xg.mean(axis=(1, 3), keepdims=True)
+        var = xg.var(axis=(1, 3), keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+        out = xg.reshape(b, *spatial, c)
+        return out * p["scale"] + p["bias"]
+    xg = x.reshape(b, -1, g, c // g)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+    mean2 = jnp.mean(
+        jnp.square(xg.astype(jnp.float32)), axis=(1, 3), keepdims=True
+    )
+    inv = jax.lax.rsqrt(mean2 - jnp.square(mean) + eps)
+    # elementwise normalize stays in the input dtype (one rounding step vs
+    # the fp32 path; stats above are exact fp32)
+    out = (xg - mean.astype(orig_dtype)) * inv.astype(orig_dtype)
+    out = out.reshape(b, *spatial, c)
+    return out * p["scale"].astype(orig_dtype) + p["bias"].astype(orig_dtype)
 
 
 def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
