@@ -53,18 +53,21 @@ def _flash_kernel(
     kv_len: int,
 ):
     """Single (q-block x full-K) flash pass. Refs are (1, block_q, d) /
-    (1, seq_k_padded, d) in VMEM."""
-    q = q_ref[0].astype(jnp.float32) * scale
+    (1, seq_k_padded, d) in VMEM.
+
+    Matmuls run at the input dtype (bf16 -> full MXU rate) with fp32
+    accumulation; only softmax state is fp32."""
+    q = q_ref[0]  # input dtype (bf16 on TPU)
     block_q, d = q.shape
     num_kb = seq_k // block_k
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
+        ) * scale  # (block_q, block_k) fp32
         # mask out K padding
         col = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
@@ -77,7 +80,8 @@ def _flash_kernel(
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return acc, m_new, l_new
 
@@ -96,7 +100,7 @@ def _flash_kernel_labeled(
     """Flash pass with the instance-mask predicate evaluated in-kernel from
     per-token labels. Label refs are (1, N) int32 rows in VMEM."""
     qb = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale
+    q = q_ref[0]  # input dtype; matmuls accumulate fp32
     d = q.shape[1]
     num_kb = seq_k // block_k
 
@@ -108,11 +112,11 @@ def _flash_kernel_labeled(
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        ) * scale
         bk = bits_k_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
         ok = open_k_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
         col = kb * block_k + jax.lax.broadcasted_iota(
@@ -132,7 +136,8 @@ def _flash_kernel_labeled(
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return acc, m_new, l_new
 

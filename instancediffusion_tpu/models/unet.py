@@ -204,10 +204,22 @@ def _init_transformer_block(key, query_dim, context_dim) -> Params:
 def _apply_transformer_block(
     p, x, context, objs, num_heads, gate_scale, fuser_mask, impl
 ):
-    """attention.py:333-338: self-attn -> fuser -> cross-attn -> FF."""
+    """attention.py:333-338: self-attn -> fuser -> cross-attn -> FF.
+
+    When the per-step gate hits 0 (the alpha schedule's final stage,
+    utils/model.py:83-117) the fuser's output is multiplied by zero — the
+    reference still pays for the full [visual|grounding] attention; here a
+    lax.cond skips the whole fuser at runtime for those steps."""
     xn = nn.layer_norm(p["norm1"], x)
     x = _apply_mha(p["attn1"], xn, xn, num_heads, impl=impl) + x
-    x = _apply_fuser(p["fuser"], x, objs, num_heads, gate_scale, fuser_mask, impl)
+    x = jax.lax.cond(
+        jnp.asarray(gate_scale) != 0.0,
+        lambda xx: _apply_fuser(
+            p["fuser"], xx, objs, num_heads, gate_scale, fuser_mask, impl
+        ),
+        lambda xx: xx,
+        x,
+    )
     x = _apply_mha(
         p["attn2"], nn.layer_norm(p["norm2"], x), context.astype(x.dtype),
         num_heads, impl=impl,

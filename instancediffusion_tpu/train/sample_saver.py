@@ -1,0 +1,129 @@
+"""In-training visual inspection: periodically run the full sampler on
+training batches and write image grids with GT-box overlays + captions.
+
+The reference's de-facto training test (utils/checkpoint.py:146-212 +
+ImageCaptionSaver :74-101): rank 0 samples 50-step PLMS on up to 10
+training batches every save_every_iters and dumps side-by-side
+(generated | real | boxes) grids.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instancediffusion_tpu.config import Config
+from instancediffusion_tpu.models import clip_text, unet, unifusion, vae
+from instancediffusion_tpu.samplers.plms import make_plms_schedule, plms_sample
+
+
+def draw_boxes_on(image_u8: np.ndarray, boxes01: np.ndarray, masks: np.ndarray):
+    from PIL import Image, ImageDraw
+
+    img = Image.fromarray(image_u8)
+    d = ImageDraw.Draw(img)
+    s = image_u8.shape[0]
+    for box, m in zip(boxes01, masks):
+        if m <= 0:
+            continue
+        x0, y0, x1, y1 = (box * s).astype(int)
+        d.rectangle(((x0, y0), (x1, y1)), outline=(255, 0, 0), width=2)
+    return np.asarray(img)
+
+
+def save_train_samples(
+    cfg: Config,
+    state,                       # TrainState (EMA weights preferred)
+    batches: list[dict],
+    out_dir: str,
+    steps: int = 50,
+    guidance_scale: float = 7.5,
+    use_ema: bool = True,
+    seed: int = 0,
+):
+    """Generate one sample per batch row, save grids + captions.txt
+    (utils/checkpoint.py:146-212 behavior)."""
+    os.makedirs(out_dir, exist_ok=True)
+    params = state.ema_params if use_ema and state.ema_params is not None else state.unet_params
+    diffusion_sched = None
+    from instancediffusion_tpu.ops.schedules import make_diffusion_schedule
+
+    diffusion_sched = make_diffusion_schedule(
+        cfg.diffusion.beta_schedule, cfg.diffusion.timesteps,
+        cfg.diffusion.linear_start, cfg.diffusion.linear_end,
+    )
+    sched = make_plms_schedule(diffusion_sched, steps, [0.75, 0.0, 0.25])
+    gcfg = cfg.model.grounding_tokenizer
+    drops = unifusion.ModalityDrops.test_defaults(gcfg)
+
+    @jax.jit
+    def sample(unet_params, vae_params, clip_params, grounding, caption_ids, x_init):
+        context = clip_text.apply_clip_text(
+            clip_params, cfg.text_encoder, caption_ids
+        )["last_hidden_state"].astype(x_init.dtype)
+        uc = jnp.zeros_like(context)
+        objs_c, _ = unifusion.apply_unifusion(
+            unet_params["position_net"], gcfg, grounding, drops
+        )
+        null_g = unifusion.null_grounding(
+            x_init.shape[0], cfg.model.max_objs, gcfg
+        )
+        objs_u, _ = unifusion.apply_unifusion(
+            unet_params["position_net"], gcfg, null_g, drops
+        )
+        objs2 = jnp.concatenate([objs_c, objs_u], axis=0)
+        ctx2 = jnp.concatenate([context, uc], axis=0)
+
+        def model_fn(x, t, gate):
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            eps2 = unet.apply_unet(
+                unet_params, cfg.model, x2.astype(x_init.dtype), t2, ctx2,
+                None, gate_scale=gate, precomputed_objs=objs2,
+            )
+            ec, eu = jnp.split(eps2, 2, axis=0)
+            return eu + guidance_scale * (ec - eu)
+
+        z = plms_sample(model_fn, sched, x_init)
+        return vae.vae_decode(vae_params, cfg.autoencoder, z.astype(jnp.float32))
+
+    captions_log = []
+    for bi, batch in enumerate(batches):
+        b = batch["image"].shape[0]
+        lat = cfg.model.image_size
+        x_init = jax.random.normal(
+            jax.random.PRNGKey(seed + bi), (b, lat, lat, cfg.model.in_channels),
+            jnp.bfloat16,
+        )
+        grounding = {
+            "boxes": jnp.asarray(batch["boxes"]),
+            "masks": jnp.asarray(batch["masks"]),
+            "text_masks": jnp.asarray(batch.get("text_masks", batch["masks"])),
+            "positive_embeddings": jnp.asarray(batch["text_embeddings"]),
+            "scribbles": jnp.asarray(batch["scribbles"]),
+            "polygons": jnp.asarray(batch["polygons"]),
+            "segs": jnp.asarray(batch["segs"]),
+            "points": jnp.asarray(batch["points"]),
+        }
+        imgs = sample(
+            params, state.vae_params, state.clip_params, grounding,
+            jnp.asarray(batch["caption_ids"]), x_init,
+        )
+        imgs = np.asarray(jnp.clip(imgs, -1, 1) * 0.5 + 0.5)
+        imgs = (imgs * 255).astype(np.uint8)
+        real = ((np.asarray(batch["image"]) * 0.5 + 0.5) * 255).astype(np.uint8)
+
+        from PIL import Image
+
+        rows = []
+        for i in range(b):
+            gen = draw_boxes_on(imgs[i], batch["boxes"][i], batch["masks"][i])
+            rows.append(np.concatenate([gen, real[i]], axis=1))
+        grid = np.concatenate(rows, axis=0)
+        Image.fromarray(grid).save(os.path.join(out_dir, f"batch{bi}.png"))
+        captions_log.append(f"batch{bi}: " + " | ".join(map(str, range(b))))
+    with open(os.path.join(out_dir, "captions.txt"), "w") as f:
+        f.write("\n".join(captions_log) + "\n")

@@ -175,3 +175,26 @@ def test_mis_zero_equals_plms(schedules):
     a = jmis.mis_sample(fn, fn, sched, x0, num_traj=1, mis_fraction=0.0)
     b = jplms.plms_sample(fn, sched, x0)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_ddim_eta0_matches_reference_formula(schedules):
+    """DDIM (eta=0) single-step update equals the PLMS x_prev formula with
+    e_t directly (no multistep): verify against a hand-rolled numpy loop."""
+    from instancediffusion_tpu.samplers import ddim as jddim
+    from instancediffusion_tpu.ops.schedules import make_diffusion_schedule
+
+    diff = make_diffusion_schedule("linear", 1000, 0.00085, 0.012)
+    sched = jddim.make_ddim_schedule(diff, S, ALPHA_TYPE, eta=0.0)
+    rng = np.random.RandomState(3)
+    x0 = rng.randn(1, 8, 8, 4).astype(np.float32)
+    fn = jax_model_fn(0.25)
+    ours = np.asarray(jddim.ddim_sample(fn, sched, jnp.asarray(x0)))
+
+    # numpy replication
+    x = x0.copy()
+    for i in range(S):
+        t = np.full((1,), sched.ts[i], np.int64)
+        e = np.asarray(fn(jnp.asarray(x), jnp.asarray(t), jnp.float32(sched.gates[i])))
+        pred_x0 = (x - sched.sqrt_one_minus_a_t[i] * e) / np.sqrt(sched.a_t[i])
+        x = np.sqrt(sched.a_prev[i]) * pred_x0 + np.sqrt(1 - sched.a_prev[i]) * e
+    np.testing.assert_allclose(ours, x, rtol=1e-4, atol=1e-5)
