@@ -79,6 +79,9 @@ class UNetConfig:
     efficient_attention: bool = True   # -> Pallas flash path on TPU
     dropout: float = 0.0
     max_objs: int = 30
+    # instance attention masking in the fuser (reference return_att_masks /
+    # use_masked_att, off by default upstream too: inference.py:182)
+    use_masked_att: bool = False
     grounding_tokenizer: UniFusionConfig = field(default_factory=UniFusionConfig)
 
 

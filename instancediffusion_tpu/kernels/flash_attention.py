@@ -157,7 +157,7 @@ def flash_attention(
     v: jnp.ndarray,   # (B, H, M, C)
     mask: jnp.ndarray | None = None,        # unsupported here; use labels
     labels: tuple | None = None,            # (bits (B,N), open (B,N)) int32
-    block_q: int = 256,
+    block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:

@@ -136,11 +136,13 @@ def _init_mha(key, query_dim, kv_dim, inner_dim) -> Params:
     }
 
 
-def _apply_mha(p: Params, x, kv, num_heads, mask=None, impl="xla"):
+def _apply_mha(p: Params, x, kv, num_heads, mask=None, labels=None, impl="xla"):
     q = nn.linear(p["to_q"], x)
     k = nn.linear(p["to_k"], kv)
     v = nn.linear(p["to_v"], kv)
-    out = multi_head_attention(q, k, v, num_heads, mask=mask, impl=impl)
+    out = multi_head_attention(
+        q, k, v, num_heads, mask=mask, labels=labels, impl=impl
+    )
     return nn.linear(p["to_out"], out)
 
 
@@ -176,11 +178,17 @@ def _init_fuser(key, query_dim, context_dim) -> Params:
 def _apply_fuser(p, x, objs, num_heads, gate_scale, fuser_mask, impl):
     """x: (B,N,C) visual tokens; objs: (B,G,ctx) grounding tokens.
     gate_scale: traced scalar (the reference's per-step `.scale`).
-    fuser_mask: optional (B,1,N+G,N+G) bool keep-mask (instance masking)."""
+    fuser_mask: instance masking — either a dense (B,1,N+G,N+G) bool
+    keep-mask or a (bits, open) label tuple for the flash kernel."""
     n_visual = x.shape[1]
     objs_p = nn.linear(p["linear"], objs.astype(x.dtype))
     cat = nn.layer_norm(p["norm1"], jnp.concatenate([x, objs_p], axis=1))
-    attn_out = _apply_mha(p["attn"], cat, cat, num_heads, mask=fuser_mask, impl=impl)
+    mask, labels = (
+        (None, fuser_mask) if isinstance(fuser_mask, tuple) else (fuser_mask, None)
+    )
+    attn_out = _apply_mha(
+        p["attn"], cat, cat, num_heads, mask=mask, labels=labels, impl=impl
+    )
     g1 = (gate_scale * jnp.tanh(p["alpha_attn"])).astype(x.dtype)
     x = x + g1 * attn_out[:, :n_visual, :]
     g2 = (gate_scale * jnp.tanh(p["alpha_dense"])).astype(x.dtype)
@@ -420,6 +428,7 @@ def apply_unet(
     fuser_mask: jnp.ndarray | None = None,   # (B,1,N64+G,N64+G) bool, ds=1 only
     attn_impl: str = "auto",
     precomputed_objs: jnp.ndarray | None = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """eps-prediction forward (openaimodel.py:482-563).
 
@@ -460,6 +469,20 @@ def apply_unet(
 
     input_plan, middle_plan, output_plan = build_plan(cfg)
 
+    # gradient checkpointing (training): rematerialize res/transformer block
+    # activations in the backward pass (the reference checkpoints the same
+    # blocks: openaimodel.py:231-234, attention.py:328-331)
+    if remat:
+        res_fn = jax.checkpoint(_apply_res_block)
+        attn_fn = jax.checkpoint(
+            lambda p, h, ctx, ob, gate: _apply_spatial_transformer(
+                p, h, ctx, ob, cfg.num_heads, gate, None, attn_impl
+            )
+        )
+    else:
+        res_fn = _apply_res_block
+        attn_fn = None
+
     def run_layer(spec: LayerSpec, p: Params, h):
         if spec.kind == "conv_in":
             # Select trained vs stock-SD first conv on gate_scale == 0
@@ -468,9 +491,11 @@ def apply_unet(
             b = jnp.where(use_sd, params["first_conv_sd"]["b"], p["conv"]["b"])
             return nn.conv2d({"w": w, "b": b}, h, padding=1)
         if spec.kind == "res":
-            return _apply_res_block(p, h, emb)
+            return res_fn(p, h, emb)
         if spec.kind == "attn":
             mask = fuser_mask if spec.ds == 1 else None
+            if remat and mask is None:
+                return attn_fn(p, h, context, objs, gate_scale)
             return _apply_spatial_transformer(
                 p, h, context, objs, cfg.num_heads, gate_scale, mask, attn_impl
             )

@@ -56,20 +56,39 @@ def sdpa_xla(
     return jnp.einsum("bhnm,bhmc->bhnc", attn, v, preferred_element_type=q.dtype)
 
 
+def labels_to_dense(bits: jnp.ndarray, open_: jnp.ndarray) -> jnp.ndarray:
+    """(B,N) instance-label arrays -> dense (B,1,N,N) bool keep-mask (the
+    XLA fallback for the flash kernel's in-kernel predicate)."""
+    n = bits.shape[1]
+    i = jnp.arange(n)
+    keep = (
+        (open_[:, :, None] > 0)
+        | (open_[:, None, :] > 0)
+        | ((bits[:, :, None] & bits[:, None, :]) != 0)
+        | (i[:, None] == i[None, :])[None]
+    )
+    return keep[:, None]
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     num_heads: int,
     mask: jnp.ndarray | None = None,
+    labels: tuple | None = None,
     impl: str = "xla",
 ) -> jnp.ndarray:
-    """(B,N,H*C) x (B,M,H*C) -> (B,N,H*C) attention with optional keep-mask."""
+    """(B,N,H*C) x (B,M,H*C) -> (B,N,H*C) attention with optional keep-mask
+    (dense `mask` or per-token instance `labels` — see
+    kernels/flash_attention for the encoding)."""
     qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
     if impl == "pallas":
         from instancediffusion_tpu.kernels.flash_attention import flash_attention
 
-        out = flash_attention(qh, kh, vh, mask=mask)
+        out = flash_attention(qh, kh, vh, mask=mask, labels=labels)
     else:
+        if labels is not None and mask is None:
+            mask = labels_to_dense(*labels)
         out = sdpa_xla(qh, kh, vh, mask=mask)
     return _merge_heads(out)

@@ -162,22 +162,44 @@ class InstanceDiffusionPipeline:
         gcfg = cfg.model.grounding_tokenizer
         drops = unifusion.ModalityDrops.test_defaults(gcfg)
 
+        # instance attention masking (reference use_masked_att; the mask is
+        # built from box rasters, utils/input.py:34-37 + attention.py:187-255)
+        # — only meaningful when boxes/masks aren't dropped by the preset
+        masking = (
+            cfg.model.use_masked_att
+            and not (gcfg.test_drop_boxes and gcfg.test_drop_masks)
+        )
+
+        def build_labels(grounding):
+            from instancediffusion_tpu.kernels.flash_attention import (
+                instance_labels,
+            )
+            from instancediffusion_tpu.ops.instance_mask import rasterize_boxes
+
+            rasters = rasterize_boxes(grounding["boxes"], cfg.model.image_size)
+            rasters = rasters * grounding["masks"][..., None, None]
+            return instance_labels(
+                rasters, cfg.model.max_objs, gcfg.num_seg_tokens
+            )
+
         def make_cfg_fn(unet_params, context, uc, grounding, null_g):
             """CFG as one batched 2x forward over precomputed grounding
             tokens — UniFusion (incl. the ConvNeXt seg encoder) runs ONCE
             per sampling run, not per scan step: grounding tokens are
             timestep-invariant (vs openaimodel.py:494 recomputing them in
-            every forward)."""
+            every forward). Instance-mask labels are likewise precomputed."""
             objs_c, _ = unifusion.apply_unifusion(
                 unet_params["position_net"], gcfg, grounding, drops
             )
             if uc is None or gs == 1:
                 ctx = context
+                labels = build_labels(grounding) if masking else None
 
                 def model_fn(x, t, gate):
                     return unet.apply_unet(
                         unet_params, cfg.model, x.astype(compute_dtype), t,
                         ctx, None, gate_scale=gate, precomputed_objs=objs_c,
+                        fuser_mask=labels,
                     )
 
                 return model_fn
@@ -187,6 +209,18 @@ class InstanceDiffusionPipeline:
             )
             objs2 = jnp.concatenate([objs_c, objs_u], axis=0)
             ctx2 = jnp.concatenate([context, uc], axis=0)
+            if masking:
+                g2 = {
+                    "boxes": jnp.concatenate(
+                        [grounding["boxes"], null_g["boxes"]], axis=0
+                    ),
+                    "masks": jnp.concatenate(
+                        [grounding["masks"], null_g["masks"]], axis=0
+                    ),
+                }
+                labels2 = build_labels(g2)  # null half -> open (unmasked)
+            else:
+                labels2 = None
 
             def model_fn(x, t, gate):
                 x2 = jnp.concatenate([x, x], axis=0)
@@ -194,6 +228,7 @@ class InstanceDiffusionPipeline:
                 eps2 = unet.apply_unet(
                     unet_params, cfg.model, x2.astype(compute_dtype), t2,
                     ctx2, None, gate_scale=gate, precomputed_objs=objs2,
+                    fuser_mask=labels2,
                 )
                 e_cond, e_uncond = jnp.split(eps2, 2, axis=0)
                 return e_uncond + gs * (e_cond - e_uncond)

@@ -95,6 +95,7 @@ def make_train_step(cfg: Config, diffusion: DiffusionSchedule, tx,
         eps_hat = unet.apply_unet(
             unet_params, cfg.model, x_t, t, context, grounding,
             gate_scale=1.0, drops=drops,
+            remat=cfg.train.gradient_checkpointing and cfg.model.use_checkpoint,
         )
         loss = jnp.mean(
             (eps_hat.astype(jnp.float32) - noise) ** 2
