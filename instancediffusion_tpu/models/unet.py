@@ -220,14 +220,23 @@ def _apply_transformer_block(
     lax.cond skips the whole fuser at runtime for those steps."""
     xn = nn.layer_norm(p["norm1"], x)
     x = _apply_mha(p["attn1"], xn, xn, num_heads, impl=impl) + x
-    x = jax.lax.cond(
-        jnp.asarray(gate_scale) != 0.0,
-        lambda xx: _apply_fuser(
-            p["fuser"], xx, objs, num_heads, gate_scale, fuser_mask, impl
-        ),
-        lambda xx: xx,
-        x,
-    )
+    if isinstance(gate_scale, (int, float)):
+        # static gate (training / fixed-alpha inference): resolve at trace
+        # time — also keeps jax.checkpoint differentiable (cond + remat
+        # don't compose for linearization)
+        if gate_scale != 0.0:
+            x = _apply_fuser(
+                p["fuser"], x, objs, num_heads, gate_scale, fuser_mask, impl
+            )
+    else:
+        x = jax.lax.cond(
+            jnp.asarray(gate_scale) != 0.0,
+            lambda xx: _apply_fuser(
+                p["fuser"], xx, objs, num_heads, gate_scale, fuser_mask, impl
+            ),
+            lambda xx: xx,
+            x,
+        )
     x = _apply_mha(
         p["attn2"], nn.layer_norm(p["norm2"], x), context.astype(x.dtype),
         num_heads, impl=impl,
@@ -458,7 +467,10 @@ def apply_unet(
         )
         del drop_box_mask  # folded into fuser_mask by the mask builder
 
-    gate_scale = jnp.asarray(gate_scale, jnp.float32)
+    # keep Python scalars static (trace-time gate resolution + remat
+    # compatibility); only traced gates stay traced
+    if not isinstance(gate_scale, (int, float)):
+        gate_scale = jnp.asarray(gate_scale, jnp.float32)
 
     # Time embedding
     t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
@@ -474,9 +486,12 @@ def apply_unet(
     # blocks: openaimodel.py:231-234, attention.py:328-331)
     if remat:
         res_fn = jax.checkpoint(_apply_res_block)
+        # gate_scale is closed over statically (training uses a Python 1.0):
+        # passing it as a checkpoint argument would re-trace it and route
+        # through lax.cond, which doesn't linearize under remat
         attn_fn = jax.checkpoint(
-            lambda p, h, ctx, ob, gate: _apply_spatial_transformer(
-                p, h, ctx, ob, cfg.num_heads, gate, None, attn_impl
+            lambda p, h, ctx, ob: _apply_spatial_transformer(
+                p, h, ctx, ob, cfg.num_heads, gate_scale, None, attn_impl
             )
         )
     else:
@@ -495,7 +510,7 @@ def apply_unet(
         if spec.kind == "attn":
             mask = fuser_mask if spec.ds == 1 else None
             if remat and mask is None:
-                return attn_fn(p, h, context, objs, gate_scale)
+                return attn_fn(p, h, context, objs)
             return _apply_spatial_transformer(
                 p, h, context, objs, cfg.num_heads, gate_scale, mask, attn_impl
             )

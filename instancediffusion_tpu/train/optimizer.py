@@ -79,7 +79,15 @@ def make_optimizer(
         raise ValueError(scheduler_type)
     tx = optax.adamw(sched, weight_decay=weight_decay)
     if params is not None:
-        tx = optax.masked(tx, trainable_mask(params))
+        # NOTE optax.masked is NOT freezing: masked-out leaves pass their
+        # raw gradient through unchanged. multi_transform routes frozen
+        # leaves to set_to_zero (verified by test_masked_update_freezes_frozen).
+        labels = jax.tree_util.tree_map(
+            lambda m: "train" if m else "freeze", trainable_mask(params)
+        )
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
     return tx
 
 

@@ -96,6 +96,9 @@ def make_train_step(cfg: Config, diffusion: DiffusionSchedule, tx,
             unet_params, cfg.model, x_t, t, context, grounding,
             gate_scale=1.0, drops=drops,
             remat=cfg.train.gradient_checkpointing and cfg.model.use_checkpoint,
+            # the Pallas flash kernel is forward-only (no custom VJP yet);
+            # training differentiates, so use the XLA attention path
+            attn_impl="xla",
         )
         loss = jnp.mean(
             (eps_hat.astype(jnp.float32) - noise) ** 2
