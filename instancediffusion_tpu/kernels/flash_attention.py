@@ -249,6 +249,289 @@ def flash_attention(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Backward pass (custom VJP) — unmasked self/cross attention for training.
+#
+# Standard flash backward: recompute scores blockwise using the saved
+# softmax statistics (m, l folded into `lse`), accumulate
+#   dv += p^T dout
+#   dp  = dout v^T
+#   ds  = p * (dp - delta)        with delta = rowsum(dout * out)
+#   dq += ds k * scale ;  dk += ds^T q * scale
+# dq uses a q-block grid (inner loop over K); dk/dv use a k-block grid
+# (inner loop over Q) so every accumulation stays block-local in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_with_stats_kernel(
+    q_ref, k_ref, v_ref, out_ref, lse_ref, *, block_k, seq_k, scale, kv_len
+):
+    q = q_ref[0]
+    block_q, d = q.shape
+    num_kb = seq_k // block_k
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((block_q, q.shape[1]), jnp.float32)
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
+    out_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, block_k, seq_k, scale, kv_len,
+):
+    q = q_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+    block_q, d = q.shape
+    num_kb = seq_k // block_k
+
+    def body(kb, dq):
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * scale
+        return dq + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, block_q, seq_q, scale, kv_len, q_len,
+):
+    k = k_ref[0]
+    v = v_ref[0]
+    block_k, d = k.shape
+    kb = pl.program_id(1)
+    col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+    num_qb = seq_q // block_q
+
+    def body(qb, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        row = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0
+        )
+        p = jnp.where(row < q_len, jnp.exp(s - lse), 0.0)
+        dv = dv + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * scale
+        dk = dk + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk, dv
+
+    dk0 = jnp.zeros((block_k, d), jnp.float32)
+    dv0 = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5)
+)
+def flash_attention_trainable(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    block_q: int = 512, block_k: int = 512, interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused attention (B,H,N,C)x(B,H,M,C) — forward matches
+    flash_attention(labels=None); backward is the flash recomputation
+    (dq/dkv kernels above). For the training path (attn_impl='pallas')."""
+    out, _ = _flash_fwd(q, k, v, block_q, block_k, interpret)
+    return out
+
+
+def _flash_fwd(q, k, v, block_q, block_k, interpret):
+    b, h, n, c = q.shape
+    m = k.shape[2]
+    scale = 1.0 / math.sqrt(c)
+    cp = _ceil_to(c, 128)
+    npad = _ceil_to(n, block_q)
+    mpad = _ceil_to(m, block_k)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, npad - n), (0, cp - c))).reshape(
+        b * h, npad, cp
+    )
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, mpad - m), (0, cp - c))).reshape(
+        b * h, mpad, cp
+    )
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, mpad - m), (0, cp - c))).reshape(
+        b * h, mpad, cp
+    )
+    grid = (b * h, npad // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_with_stats_kernel, block_k=block_k, seq_k=mpad, scale=scale,
+            kv_len=m,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, cp), lambda bh, qb: (bh, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mpad, cp), lambda bh, qb: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mpad, cp), lambda bh, qb: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, cp), lambda bh, qb: (bh, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qb: (bh, 0, qb),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, npad, cp), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, npad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    out_full = out.reshape(b, h, npad, cp)[:, :, :n, :c]
+    return out_full, (qp, kp, vp, out, lse, (b, h, n, m, c, cp, npad, mpad))
+
+
+def _flash_fwd_rule(q, k, v, block_q, block_k, interpret):
+    out, res = _flash_fwd(q, k, v, block_q, block_k, interpret)
+    return out, res
+
+
+def _flash_bwd_rule(block_q, block_k, interpret, res, g):
+    qp, kp, vp, outp, lse, dims = res
+    b, h, n, m, c, cp, npad, mpad = dims
+    scale = 1.0 / math.sqrt(c)
+    gp = jnp.pad(
+        g, ((0, 0), (0, 0), (0, npad - n), (0, cp - c))
+    ).reshape(b * h, npad, cp)
+    # delta = rowsum(dout * out) (fp32)
+    delta = jnp.sum(
+        gp.astype(jnp.float32) * outp.astype(jnp.float32), axis=-1
+    )[:, None, :]
+
+    grid_q = (b * h, npad // block_q)
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, block_k=block_k, seq_k=mpad, scale=scale, kv_len=m
+        ),
+        grid=grid_q,
+        in_specs=[
+            pl.BlockSpec((1, block_q, cp), lambda bh, qb: (bh, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mpad, cp), lambda bh, qb: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mpad, cp), lambda bh, qb: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, cp), lambda bh, qb: (bh, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qb: (bh, 0, qb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qb: (bh, 0, qb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, cp), lambda bh, qb: (bh, qb, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, npad, cp), qp.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse, delta)
+
+    grid_k = (b * h, mpad // block_k)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, block_q=block_q, seq_q=npad, scale=scale,
+            kv_len=m, q_len=n,
+        ),
+        grid=grid_k,
+        in_specs=[
+            pl.BlockSpec((1, npad, cp), lambda bh, kb: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, cp), lambda bh, kb: (bh, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, cp), lambda bh, kb: (bh, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, cp), lambda bh, kb: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, npad), lambda bh, kb: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, npad), lambda bh, kb: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, cp), lambda bh, kb: (bh, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, cp), lambda bh, kb: (bh, kb, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, mpad, cp), kp.dtype),
+            jax.ShapeDtypeStruct((b * h, mpad, cp), vp.dtype),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse, delta)
+
+    dq = dq.reshape(b, h, npad, cp)[:, :, :n, :c]
+    dk = dk.reshape(b, h, mpad, cp)[:, :, :m, :c]
+    dv = dv.reshape(b, h, mpad, cp)[:, :, :m, :c]
+    return dq, dk, dv
+
+
+flash_attention_trainable.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
 def instance_labels(
     att_masks: jnp.ndarray, n_objs: int, seg_tokens: int = 64
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -449,9 +449,12 @@ def apply_unet(
     scan — they are timestep-invariant, so samplers hoist UniFusion
     (including the ConvNeXt seg encoder) out of the 50-step loop instead of
     re-running it per step like the reference (openaimodel.py:494)."""
+    on_cpu = jax.devices()[0].platform == "cpu"
     if attn_impl == "auto":
-        on_cpu = jax.default_backend() == "cpu"
         attn_impl = "pallas" if (cfg.efficient_attention and not on_cpu) else "xla"
+    elif attn_impl == "auto_train":
+        # differentiable fused kernel on TPU, XLA on CPU
+        attn_impl = "pallas_train" if (cfg.efficient_attention and not on_cpu) else "xla"
     gcfg = cfg.grounding_tokenizer
 
     if precomputed_objs is not None:

@@ -87,6 +87,15 @@ def multi_head_attention(
         from instancediffusion_tpu.kernels.flash_attention import flash_attention
 
         out = flash_attention(qh, kh, vh, mask=mask, labels=labels)
+    elif impl == "pallas_train":
+        # differentiable fused kernel (custom VJP); no mask support — the
+        # training path doesn't use instance masks
+        from instancediffusion_tpu.kernels.flash_attention import (
+            flash_attention_trainable,
+        )
+
+        assert mask is None and labels is None
+        out = flash_attention_trainable(qh, kh, vh)
     else:
         if labels is not None and mask is None:
             mask = labels_to_dense(*labels)

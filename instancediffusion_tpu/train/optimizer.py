@@ -91,8 +91,33 @@ def make_optimizer(
     return tx
 
 
-def update_ema(ema_params, params, rate: float = 0.9999):
-    """ema = ema * rate + p * (1 - rate) (utils/optimizer.py:11-13)."""
+def init_ema(params):
+    """Trainable-subset EMA: frozen leaves are replaced by 0-d placeholders
+    so the EMA tree doesn't duplicate ~4.7GB of frozen SD weights (the
+    reference deep-copies the whole model, utils/model.py:57-67 — wasteful;
+    frozen weights never change, so EMA(frozen) == frozen)."""
+    mask = trainable_mask(params)
+    import jax.numpy as jnp
+
     return jax.tree_util.tree_map(
-        lambda e, p: e * rate + p.astype(e.dtype) * (1.0 - rate), ema_params, params
+        lambda p, m: p if m else jnp.zeros((), p.dtype), params, mask
+    )
+
+
+def update_ema(ema_params, params, rate: float = 0.9999):
+    """ema = ema * rate + p * (1 - rate) (utils/optimizer.py:11-13),
+    trainable leaves only (frozen placeholders pass through)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e if e.ndim == 0 and p.ndim != 0
+        else e * rate + p.astype(e.dtype) * (1.0 - rate),
+        ema_params, params,
+    )
+
+
+def ema_full_params(ema_params, params):
+    """Materialize full EMA weights for sampling/checkpoint export:
+    trainable leaves from the EMA, frozen leaves from the live params."""
+    return jax.tree_util.tree_map(
+        lambda e, p: p if (e.ndim == 0 and p.ndim != 0) else e,
+        ema_params, params,
     )

@@ -47,8 +47,12 @@ def save_train_samples(
     """Generate one sample per batch row, save grids + captions.txt
     (utils/checkpoint.py:146-212 behavior)."""
     os.makedirs(out_dir, exist_ok=True)
-    params = state.ema_params if use_ema and state.ema_params is not None else state.unet_params
-    diffusion_sched = None
+    from instancediffusion_tpu.train.optimizer import ema_full_params
+
+    if use_ema and state.ema_params is not None:
+        params = ema_full_params(state.ema_params, state.unet_params)
+    else:
+        params = state.unet_params
     from instancediffusion_tpu.ops.schedules import make_diffusion_schedule
 
     diffusion_sched = make_diffusion_schedule(

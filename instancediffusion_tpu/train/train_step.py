@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from instancediffusion_tpu.config import Config
 from instancediffusion_tpu.models import clip_text, unet, unifusion, vae
 from instancediffusion_tpu.ops.schedules import DiffusionSchedule
-from instancediffusion_tpu.train.optimizer import update_ema
+from instancediffusion_tpu.train.optimizer import init_ema, update_ema
 
 
 class TrainState(NamedTuple):
@@ -96,9 +96,8 @@ def make_train_step(cfg: Config, diffusion: DiffusionSchedule, tx,
             unet_params, cfg.model, x_t, t, context, grounding,
             gate_scale=1.0, drops=drops,
             remat=cfg.train.gradient_checkpointing and cfg.model.use_checkpoint,
-            # the Pallas flash kernel is forward-only (no custom VJP yet);
-            # training differentiates, so use the XLA attention path
-            attn_impl="xla",
+            # fused flash attention with custom VJP on TPU, XLA on CPU
+            attn_impl="auto_train",
         )
         loss = jnp.mean(
             (eps_hat.astype(jnp.float32) - noise) ** 2
@@ -130,17 +129,39 @@ def make_train_step(cfg: Config, diffusion: DiffusionSchedule, tx,
     return train_step
 
 
-def init_train_state(cfg: Config, tx, seed: int = 0) -> TrainState:
-    import copy
+def cast_frozen_bf16(state: TrainState) -> TrainState:
+    """Mixed-precision storage policy (the fp16-AMP analogue): fp32 master
+    weights ONLY for trainable parameters; the frozen SD backbone, VAE and
+    CLIP are stored bf16 (they never receive updates). Halves ~5.6GB of
+    frozen fp32 weights — needed to fit full-config training in 16GB HBM."""
+    from instancediffusion_tpu.train.optimizer import trainable_mask
 
+    mask = trainable_mask(state.unet_params)
+    unet_params = jax.tree_util.tree_map(
+        lambda p, m: p if m else p.astype(jnp.bfloat16),
+        state.unet_params, mask,
+    )
+    bf16 = lambda t: jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), t
+    )
+    return state._replace(
+        unet_params=unet_params,
+        vae_params=bf16(state.vae_params),
+        clip_params=bf16(state.clip_params),
+    )
+
+
+def init_train_state(cfg: Config, tx, seed: int = 0) -> TrainState:
     k = jax.random.PRNGKey(seed)
     ku, kv, kc = jax.random.split(k, 3)
-    unet_params = unet.init_unet(ku, cfg.model)
+    unet_params = jax.jit(lambda k: unet.init_unet(k, cfg.model))(ku)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         unet_params=unet_params,
-        ema_params=copy.copy(unet_params),
+        ema_params=init_ema(unet_params),
         opt_state=tx.init(unet_params),
-        vae_params=vae.init_vae(kv, cfg.autoencoder),
-        clip_params=clip_text.init_clip_text(kc, cfg.text_encoder),
+        vae_params=jax.jit(lambda k: vae.init_vae(k, cfg.autoencoder))(kv),
+        clip_params=jax.jit(
+            lambda k: clip_text.init_clip_text(k, cfg.text_encoder)
+        )(kc),
     )

@@ -29,7 +29,7 @@ from instancediffusion_tpu.train.optimizer import (
     count_trainable, make_optimizer,
 )
 from instancediffusion_tpu.train.train_step import (
-    TrainState, init_train_state, make_train_step,
+    TrainState, cast_frozen_bf16, init_train_state, make_train_step,
 )
 from instancediffusion_tpu.utils.logging import MetricLogger
 
@@ -68,10 +68,16 @@ class Trainer:
             tcfg.base_learning_rate, tcfg.weight_decay, tcfg.warmup_steps,
             tcfg.scheduler_type, tcfg.total_iters, params=state.unet_params,
         )
+        from instancediffusion_tpu.train.optimizer import init_ema
+
         state = state._replace(
             opt_state=self.tx.init(state.unet_params),
-            ema_params=jax.tree_util.tree_map(lambda a: a, state.unet_params),
+            ema_params=init_ema(state.unet_params),
         )
+
+        # fp32 master weights for trainables only; frozen backbone/VAE/CLIP
+        # stored bf16 (fits full-config training in one chip's HBM)
+        state = cast_frozen_bf16(state)
 
         # auto-resume (utils/checkpoint.py:45-72,104-124)
         self.folder, prev = ckpt_io.expt_folder_with_auto_resume(
