@@ -99,8 +99,10 @@ def init_ema(params):
     mask = trainable_mask(params)
     import jax.numpy as jnp
 
+    # jnp.copy: the EMA must own its buffers — aliasing the live param
+    # arrays breaks buffer donation in the jitted train step
     return jax.tree_util.tree_map(
-        lambda p, m: p if m else jnp.zeros((), p.dtype), params, mask
+        lambda p, m: jnp.copy(p) if m else jnp.zeros((), p.dtype), params, mask
     )
 
 

@@ -151,7 +151,11 @@ def cast_frozen_bf16(state: TrainState) -> TrainState:
     )
 
 
-def init_train_state(cfg: Config, tx, seed: int = 0) -> TrainState:
+def init_train_state(cfg: Config, tx=None, seed: int = 0) -> TrainState:
+    """tx=None leaves opt_state unset — build the (param-masked) optimizer
+    from the returned params and call `tx.init` then; initializing with an
+    UNMASKED optimizer would transiently allocate Adam moments for all
+    ~1.2B params (9.8GB) and OOM the chip."""
     k = jax.random.PRNGKey(seed)
     ku, kv, kc = jax.random.split(k, 3)
     unet_params = jax.jit(lambda k: unet.init_unet(k, cfg.model))(ku)
@@ -159,7 +163,7 @@ def init_train_state(cfg: Config, tx, seed: int = 0) -> TrainState:
         step=jnp.zeros((), jnp.int32),
         unet_params=unet_params,
         ema_params=init_ema(unet_params),
-        opt_state=tx.init(unet_params),
+        opt_state=tx.init(unet_params) if tx is not None else None,
         vae_params=jax.jit(lambda k: vae.init_vae(k, cfg.autoencoder))(kv),
         clip_params=jax.jit(
             lambda k: clip_text.init_clip_text(k, cfg.text_encoder)

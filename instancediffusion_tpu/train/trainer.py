@@ -51,11 +51,7 @@ class Trainer:
 
         # mesh + sharded step
         self.mesh = make_mesh()
-        self.tx = make_optimizer(
-            tcfg.base_learning_rate, tcfg.weight_decay, tcfg.warmup_steps,
-            tcfg.scheduler_type, tcfg.total_iters, params=None,
-        )
-        state = init_train_state(cfg, self.tx, seed=tcfg.seed)
+        state = init_train_state(cfg, seed=tcfg.seed)
         if pretrained_ckpt:
             # ingest SD1.5: frozen backbone + VAE + CLIP; new params keep init
             params = ckpt_io.load_pipeline_params(pretrained_ckpt, cfg)
