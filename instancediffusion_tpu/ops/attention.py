@@ -83,11 +83,16 @@ def multi_head_attention(
     (dense `mask` or per-token instance `labels` — see
     kernels/flash_attention for the encoding)."""
     qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
-    if impl == "pallas":
+    n, m = q.shape[1], k.shape[1]
+    # the fused kernel only pays off on long sequences; short ones (low-res
+    # UNet levels, 77-token cross-attention) are faster through XLA and the
+    # kernel's block padding would dominate
+    big = (n >= 1024 and m >= 512) or labels is not None
+    if impl == "pallas" and big:
         from instancediffusion_tpu.kernels.flash_attention import flash_attention
 
         out = flash_attention(qh, kh, vh, mask=mask, labels=labels)
-    elif impl == "pallas_train":
+    elif impl == "pallas_train" and big:
         # differentiable fused kernel (custom VJP); no mask support — the
         # training path doesn't use instance masks
         from instancediffusion_tpu.kernels.flash_attention import (
