@@ -160,6 +160,11 @@ class TrainConfig:
     official_ckpt_name: str = "v1-5-pruned-emaonly.ckpt"
     name: str = "test"
     output_dir: str = "OUTPUT"
+    wandb: bool = False               # main_submitit.py:112-119 (rank 0)
+    # in-training sampling dump (utils/checkpoint.py:146-212): rank 0 runs
+    # the full sampler on this many training batches every save_every_iters
+    n_sample_batches: int = 10
+    sample_steps: int = 50
 
 
 @dataclass

@@ -90,6 +90,41 @@ def prepare_grounding(
     return {k: np.repeat(v, batch, axis=0) for k, v in out.items()}
 
 
+def instance_grounding_from_batch(batch: dict, k: int) -> dict:
+    """Training-side per-instance grounding (the reference's instance_meta,
+    decode_item.py:724-739): a full max_objs-padded grounding dict where
+    slot 0 holds instance k of every sample and all other slots are null.
+
+    Zero-copy reassembly from the training batch rows (the reference
+    materializes one (1,...) tensor dict per instance per sample, incl. a
+    duplicated 512x512 seg raster). text/image masks are forced to 1 for
+    the instance slot regardless of random embedding dropout, matching
+    decode_item.py:734-736. Works on np or jnp batches."""
+    b, n = batch["masks"].shape
+
+    def pad_any(a):
+        a1 = a[:, k : k + 1]
+        if isinstance(a1, np.ndarray):
+            z = np.zeros((b, n - 1) + a1.shape[2:], a1.dtype)
+            return np.concatenate([a1, z], axis=1)
+        import jax.numpy as jnp
+
+        z = jnp.zeros((b, n - 1) + a1.shape[2:], a1.dtype)
+        return jnp.concatenate([a1, z], axis=1)
+
+    on = pad_any(batch["masks"])  # (B, N) with only slot 0 populated
+    return {
+        "boxes": pad_any(batch["boxes"]),
+        "masks": on,
+        "text_masks": on,
+        "positive_embeddings": pad_any(batch["text_embeddings"]),
+        "scribbles": pad_any(batch["scribbles"]),
+        "polygons": pad_any(batch["polygons"]),
+        "segs": pad_any(batch["segs"]),
+        "points": pad_any(batch["points"]),
+    }
+
+
 def prepare_instance_meta(meta: dict, i: int) -> dict:
     """Single-instance meta for a MIS trajectory (utils/input.py:130-144):
     instance phrase doubles as the prompt."""

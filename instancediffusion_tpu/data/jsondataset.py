@@ -86,8 +86,136 @@ def recalc_points(flat_xy, info, image_size):
 
 
 # ---------------------------------------------------------------------------
+# Captions from detection data (decode_item.py:357-385,741-762)
+# ---------------------------------------------------------------------------
+
+# NLTK stop-word list as hardcoded by the reference (decode_item.py:752)
+STOP_WORDS = frozenset(
+    "i me my myself we our ours ourselves you you're you've you'll you'd "
+    "your yours yourself yourselves he him his himself she she's her hers "
+    "herself it it's its itself they them their theirs themselves what "
+    "which who whom this that that'll these those am is are was were be "
+    "been being have has had having do does did doing a an the and but if "
+    "or because as until while of at by for with about against between "
+    "into through during before after above below to from up down in out "
+    "on off over under again further then once here there when where why "
+    "how all any both each few more most other some such no nor not only "
+    "own same so than too very s t can will just don don't should "
+    "should've now d ll m o re ve y ain aren aren't couldn couldn't didn "
+    "didn't doesn doesn't hadn hadn't hasn hasn't haven haven't isn isn't "
+    "ma mightn mightn't mustn mustn't needn needn't shan shan't shouldn "
+    "shouldn't wasn wasn't weren weren't won won't wouldn wouldn't".split()
+)
+
+
+def make_a_sentence_count_nums(obj_names: list[str]) -> str:
+    """'2 dog, 1 cat' from ['dog','dog','cat'] (decode_item.py:357-365)."""
+    counts: dict[str, int] = {}
+    for n in obj_names:
+        counts[n] = counts.get(n, 0) + 1
+    return ", ".join(f"{v} {k}" for k, v in counts.items())
+
+
+def make_a_sentence(obj_names: list[str], clean: bool = False) -> str:
+    """'dog, dog, cat' (decode_item.py:368-385)."""
+    if clean:
+        obj_names = [
+            n[:-6] if "-other" in n else n for n in obj_names
+        ]
+    return ", ".join(obj_names)
+
+
+def remove_stop_words(caption: str) -> str:
+    """Stop-word filtering applied when instance captions are appended to
+    the global caption (decode_item.py:750-754)."""
+    return " ".join(
+        w for w in caption.split() if w.lower() not in STOP_WORDS
+    )
+
+
+def random_drop_embedding_masks(
+    masks: np.ndarray, mode: str, rng: np.random.Generator
+):
+    """Random text/image embedding dropout (decode_item.py:388-420):
+    'both' drops image OR text per valid token with p=0.5 (never both);
+    'image' drops image features per token with p=0.5, keeps text."""
+    n = masks.shape[0]
+    if mode == "both":
+        temp = np.ones((2, n), np.float32)
+        for i in range(n):
+            if rng.random() < 0.5:
+                temp[int(rng.integers(0, 2)), i] = 0.0
+        return temp[0] * masks, temp[1] * masks
+    if mode == "image":
+        return masks * (rng.random(n) > 0.5).astype(np.float32), masks
+    return masks, masks
+
+
+def rasterize_att_mask(box01: np.ndarray, size: int = 64) -> np.ndarray:
+    """64x64 box raster for masked instance attention (decode_item.py:699-703).
+    Rows indexed by x, cols by y — the reference's att_masks[x1:x2, y1:y2]
+    quirk, reproduced (matches ops/instance_mask.rasterize_boxes)."""
+    m = np.zeros((size, size), np.float32)
+    x1, y1, x2, y2 = np.round(np.asarray(box01) * size).astype(int)
+    m[x1:x2, y1:y2] = 1.0
+    return m
+
+
+# ---------------------------------------------------------------------------
 # Image transform (decode_item.py:767-804 + decode.transform_image :553-573)
 # ---------------------------------------------------------------------------
+
+
+def random_crop_image(
+    pil_image, image_size: int, segs: np.ndarray | None,
+    rng: np.random.Generator, min_crop_frac: float = 0.8,
+    max_crop_frac: float = 1.0,
+):
+    """random_crop_arr (decode_item.py:807-828) extended to return the
+    trans_info and carry segs — the reference's random_crop branch is dead
+    (`assert False`, decode_item.py:555); this is the working equivalent."""
+    import math
+
+    from PIL import Image
+
+    ww, hh = pil_image.size
+    min_s = math.ceil(image_size / max_crop_frac)
+    max_s = math.ceil(image_size / min_crop_frac)
+    smaller = int(rng.integers(min_s, max_s + 1))
+
+    while min(pil_image.size) >= 2 * smaller:
+        new = tuple(x // 2 for x in pil_image.size)
+        pil_image = pil_image.resize(new, resample=Image.Resampling.BOX)
+        if segs is not None:
+            segs = np.stack(
+                [
+                    np.array(Image.fromarray(s).resize(new, Image.Resampling.BOX))
+                    for s in segs
+                ]
+            )
+    scale = smaller / min(pil_image.size)
+    new = tuple(round(x * scale) for x in pil_image.size)
+    pil_image = pil_image.resize(new, resample=Image.Resampling.BICUBIC)
+    if segs is not None:
+        segs = np.stack(
+            [
+                np.array(Image.fromarray(s).resize(new, Image.Resampling.NEAREST))
+                for s in segs
+            ]
+        )
+    arr = np.array(pil_image)
+    crop_y = int(rng.integers(0, arr.shape[0] - image_size + 1))
+    crop_x = int(rng.integers(0, arr.shape[1] - image_size + 1))
+    info = {
+        "performed_scale": smaller / min(ww, hh),
+        "crop_y": crop_y,
+        "crop_x": crop_x,
+        "performed_flip": False,
+    }
+    arr = arr[crop_y : crop_y + image_size, crop_x : crop_x + image_size]
+    if segs is not None:
+        segs = segs[:, crop_y : crop_y + image_size, crop_x : crop_x + image_size]
+    return arr, info, segs
 
 
 def center_crop_image(pil_image, image_size: int, segs: np.ndarray | None):
@@ -149,13 +277,24 @@ class SampleDecoder:
         prob_use_caption: float = 1.0,
         random_flip: bool = True,
         random_blip: float = 0.0,
+        random_crop: bool = False,
+        random_drop_embedding: str = "none",   # none | both | image
+        return_att_masks: bool = False,
+        count_dups_make_a_sentence: bool = False,
+        add_inst_cap_2_global: bool = False,
     ):
+        assert random_drop_embedding in ("none", "both", "image")
         self.image_size = image_size
         self.max_boxes = max_boxes_per_data
         self.min_box_size = min_box_size
         self.prob_use_caption = prob_use_caption
         self.random_flip = random_flip
         self.random_blip = random_blip
+        self.random_crop = random_crop
+        self.random_drop_embedding = random_drop_embedding
+        self.return_att_masks = return_att_masks
+        self.count_dups_make_a_sentence = count_dups_make_a_sentence
+        self.add_inst_cap_2_global = add_inst_cap_2_global
 
     def __call__(self, raw: dict, rng: np.random.Generator) -> dict:
         image = decode_base64_image(raw["image"])
@@ -177,7 +316,12 @@ class SampleDecoder:
                 )
         segs = np.stack(seg_list) if seg_list else None
 
-        arr, info, segs_tf = center_crop_image(image, self.image_size, segs)
+        if self.random_crop:
+            arr, info, segs_tf = random_crop_image(
+                image, self.image_size, segs, rng
+            )
+        else:
+            arr, info, segs_tf = center_crop_image(image, self.image_size, segs)
         if self.random_flip and rng.random() < 0.5:
             arr = arr[:, ::-1]
             info["performed_flip"] = True
@@ -185,8 +329,10 @@ class SampleDecoder:
                 segs_tf = np.flip(segs_tf, axis=2).copy()
         image_arr = arr.astype(np.float32) / 127.5 - 1.0  # (H, W, 3) NHWC
 
+        is_det = bool(raw.get("is_det", False))  # decode_item.py:577
         s = self.image_size
-        kept = []  # (area, box01, point01, scribble01, polygon01, seg, emb)
+        # (area, box01, point01, scribble01, polygon01, seg, emb, cat, ocap)
+        kept = []
         seg_idx = 0
         for anno in annos:
             has_mask = "mask" in anno and anno["mask"]
@@ -219,6 +365,13 @@ class SampleDecoder:
                 emb = decode_embedding(anno["blip_clip_embeddings"])
             else:
                 emb = decode_embedding(anno["text_embedding_before"])
+            # detection data: category names drive the pseudo caption,
+            # per-instance captions ride along (decode_item.py:655-663)
+            cat = anno.get("category_name", "") if is_det else ""
+            if is_det and "caption" in anno:
+                ocap = f"{cat}, {anno['caption']}"
+            else:
+                ocap = ""
             kept.append(
                 (
                     (x1 - x0) * (y1 - y0),
@@ -228,6 +381,8 @@ class SampleDecoder:
                     poly.astype(np.float32),
                     seg,
                     emb,
+                    cat,
+                    ocap,
                 )
             )
 
@@ -246,7 +401,11 @@ class SampleDecoder:
             "segs": np.zeros((n, s, s), np.float32),
             "text_embeddings": np.zeros((n, EMBEDDING_LEN), np.float32),
         }
-        for i, (_, box, pt, scr, poly, seg, emb) in enumerate(kept):
+        if self.return_att_masks:
+            out["att_masks"] = np.zeros((n, 64, 64), np.float32)
+        category_names: list[str] = []
+        obj_captions: list[str] = [""] * n
+        for i, (_, box, pt, scr, poly, seg, emb, cat, ocap) in enumerate(kept):
             out["boxes"][i] = box
             out["points"][i] = pt
             out["masks"][i] = 1.0
@@ -254,10 +413,48 @@ class SampleDecoder:
             out["polygons"][i] = poly
             out["segs"][i] = seg
             out["text_embeddings"][i][: len(emb)] = emb
-        out["text_masks"] = out["masks"].copy()
+            if is_det:
+                category_names.append(cat)
+                obj_captions[i] = ocap
+            if self.return_att_masks:
+                out["att_masks"][i] = rasterize_att_mask(box)
 
+        # random text/image embedding dropout (decode_item.py:705-709)
+        image_masks, text_masks = random_drop_embedding_masks(
+            out["masks"], self.random_drop_embedding, rng
+        )
+        out["image_masks"] = image_masks
+        out["text_masks"] = text_masks
+        out["obj_captions"] = obj_captions
+
+        # Per-instance mini-batches for MIS training (the reference's
+        # instance_meta, decode_item.py:724-739) are NOT materialized: every
+        # field is a row of the arrays above (boxes[i], points[i], segs[i],
+        # text_embeddings[i], caption=obj_captions[i], masks=1) —
+        # grounding_input.instance_grounding_from_batch reassembles the
+        # padded single-instance grounding dict without duplicating ~30x
+        # 512x512 seg rasters per sample.
+
+        # global caption (decode_item.py:741-763)
         use_caption = rng.random() < self.prob_use_caption
-        out["caption"] = raw.get("caption", "") if use_caption else ""
+        if use_caption:
+            if is_det:
+                caption = (
+                    make_a_sentence_count_nums(category_names)
+                    if self.count_dups_make_a_sentence
+                    else make_a_sentence(category_names)
+                )
+                if "caption" in raw:
+                    caption = f"{caption}. {raw['caption']}"
+                if self.add_inst_cap_2_global:
+                    for ocap in obj_captions:
+                        if ocap:
+                            caption = remove_stop_words(f"{caption}. {ocap}")
+                out["caption"] = caption
+            else:
+                out["caption"] = raw.get("caption", "")
+        else:
+            out["caption"] = ""
         out["caption_mask"] = np.float32(1.0 if use_caption else 0.0)
         return out
 
@@ -290,17 +487,22 @@ class JsonDataset:
         return self.decoder(raw, rng)
 
 
-def collate(samples: list[dict], tokenizer=None, max_len: int = 77) -> dict:
-    """Stack samples; tokenize captions to ids for the on-device CLIP."""
+def collate(samples: list[dict], tokenizer=None, max_len: int = 77,
+            keep_caption: bool = False) -> dict:
+    """Stack samples; tokenize captions to ids for the on-device CLIP.
+    keep_caption=True additionally carries the raw caption strings (host-only
+    consumers like the sample-grid saver; never device_put such a batch)."""
     batch = {
         k: np.stack([s[k] for s in samples])
         for k in samples[0]
-        if k not in ("caption",)
+        if not isinstance(samples[0][k], str)
     }
     if tokenizer is not None:
         batch["caption_ids"] = np.stack(
             [tokenizer.encode(s["caption"], max_len) for s in samples]
         )
+    if keep_caption:
+        batch["caption"] = [s["caption"] for s in samples]
     return batch
 
 

@@ -147,9 +147,18 @@ def run_coco_eval(
     mis: float = 0.0,
     attribute_mode: str | None = None,
     seed: int = 0,
+    batch_size: int = 8,
+    mesh=None,
 ):
     """Generate one 512x512 image per COCO val image under its COCO
-    file name (eval_local.py run(), :22-99)."""
+    file name (eval_local.py run(), :22-99).
+
+    Images are generated `batch_size` at a time through ONE batched sampling
+    program (pipe.generate_batch); pass a jax.sharding.Mesh to shard the
+    batch over devices — the TPU-native replacement for the reference's
+    --num_jobs process splitting (kept as host-level sharding for
+    multi-host fleets). MIS (mis > 0) has per-image trajectory counts and
+    falls back to per-image generation."""
     from PIL import Image
 
     coco = CocoAnnotations(instances_json)
@@ -167,20 +176,39 @@ def run_coco_eval(
         ids = ids[:limit]
 
     os.makedirs(out_dir, exist_ok=True)
-    done = 0
+    metas = []
     for img_id in ids:
         meta = build_meta_for_image(
             coco, img_id, captions.get(img_id), attribute_mode=attribute_mode,
             rng=np.random.default_rng(seed + img_id), alpha=alpha,
         )
-        if meta is None:
-            continue
-        imgs = pipe.generate(
-            meta, num_images=1, steps=steps, guidance_scale=guidance_scale,
-            alpha=alpha, mis=mis, seed=seed + img_id,
+        if meta is not None:
+            metas.append((img_id, meta))
+
+    done = 0
+    if mis > 0:
+        for img_id, meta in metas:
+            imgs = pipe.generate(
+                meta, num_images=1, steps=steps,
+                guidance_scale=guidance_scale, alpha=alpha, mis=mis,
+                seed=seed + img_id,
+            )
+            Image.fromarray(imgs[0]).save(
+                os.path.join(out_dir, meta["file_name"])
+            )
+            done += 1
+        return done
+
+    for i in range(0, len(metas), batch_size):
+        chunk = metas[i : i + batch_size]
+        imgs = pipe.generate_batch(
+            [m for _, m in chunk], steps=steps, guidance_scale=guidance_scale,
+            alpha=alpha, seeds=[seed + img_id for img_id, _ in chunk],
+            mesh=mesh,
         )
-        Image.fromarray(imgs[0]).save(os.path.join(out_dir, meta["file_name"]))
-        done += 1
+        for (_, meta), img in zip(chunk, imgs):
+            Image.fromarray(img).save(os.path.join(out_dir, meta["file_name"]))
+            done += 1
     return done
 
 
@@ -204,6 +232,9 @@ def main(argv=None):
     p.add_argument("--add_random_colors", action="store_true")
     p.add_argument("--add_random_textures", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the eval batch over all local devices")
     args = p.parse_args(argv)
 
     from instancediffusion_tpu.config import Config, apply_test_preset
@@ -219,12 +250,18 @@ def main(argv=None):
         "colors" if args.add_random_colors
         else "textures" if args.add_random_textures else None
     )
+    mesh = None
+    if args.mesh:
+        from instancediffusion_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     n = run_coco_eval(
         pipe, args.instances_json, args.save_dir,
         captions_json=args.captions_json, num_jobs=args.num_jobs,
         job_index=args.job_index, limit=args.limit, steps=args.steps,
         guidance_scale=args.guidance_scale, alpha=args.alpha, mis=args.mis,
         attribute_mode=attribute_mode, seed=args.seed,
+        batch_size=args.batch_size, mesh=mesh,
     )
     print(f"generated {n} images in {args.save_dir}")
 

@@ -119,6 +119,10 @@ def expt_folder_with_auto_resume(output_root: str, name: str):
 
 def save_train_ckpt(folder: str, state, config_dict: dict | None, latest=True,
                     iter_idx: int | None = None):
+    """Save the full train state INCLUDING the frozen VAE/CLIP params — the
+    reference embeds text_encoder/autoencoder (+config) in every checkpoint
+    (utils/checkpoint.py:128-142) so a resumed run never depends on
+    re-passing the official SD ckpt."""
     ckptr = _checkpointer()
     name = "checkpoint_latest" if latest else f"checkpoint_{iter_idx:08d}"
     path = os.path.abspath(os.path.join(folder, name))
@@ -128,6 +132,10 @@ def save_train_ckpt(folder: str, state, config_dict: dict | None, latest=True,
         "ema_params": state.ema_params,
         "opt_state": state.opt_state,
     }
+    if state.vae_params is not None:
+        payload["vae_params"] = state.vae_params
+    if state.clip_params is not None:
+        payload["clip_params"] = state.clip_params
     ckptr.save(path, payload, force=True)
     if config_dict is not None:
         import json
@@ -137,8 +145,14 @@ def save_train_ckpt(folder: str, state, config_dict: dict | None, latest=True,
     return path
 
 
-def restore_train_ckpt(path: str, state):
-    """Restore step/params/ema/opt into an existing TrainState template."""
+def restore_train_ckpt(path: str, state, have_pretrained: bool = True):
+    """Restore a train checkpoint into an existing TrainState template.
+
+    Restores frozen VAE/CLIP too when the checkpoint carries them. If it
+    does NOT (pre-r2 format) and the caller has no official SD ckpt loaded
+    (have_pretrained=False), raise — silently resuming with randomly
+    initialized frozen encoders produces garbage training
+    (utils/checkpoint.py:104-124 always restores the full model)."""
     ckptr = _checkpointer()
     template = {
         "step": state.step,
@@ -146,10 +160,31 @@ def restore_train_ckpt(path: str, state):
         "ema_params": state.ema_params,
         "opt_state": state.opt_state,
     }
-    restored = ckptr.restore(os.path.abspath(path), item=template)
+    has_frozen = state.vae_params is not None and state.clip_params is not None
+    if has_frozen:
+        template["vae_params"] = state.vae_params
+        template["clip_params"] = state.clip_params
+    try:
+        restored = ckptr.restore(os.path.abspath(path), item=template)
+    except Exception:
+        if not has_frozen:
+            raise
+        # old-format checkpoint without frozen params
+        template.pop("vae_params")
+        template.pop("clip_params")
+        restored = ckptr.restore(os.path.abspath(path), item=template)
+        if not have_pretrained:
+            raise RuntimeError(
+                f"checkpoint {path} lacks frozen VAE/CLIP params and no "
+                "official SD checkpoint was provided — resuming would train "
+                "against randomly initialized frozen encoders. Re-pass "
+                "--official_ckpt (or re-save with the current format)."
+            )
     return state._replace(
         step=restored["step"],
         unet_params=restored["unet_params"],
         ema_params=restored["ema_params"],
         opt_state=restored["opt_state"],
+        vae_params=restored.get("vae_params", state.vae_params),
+        clip_params=restored.get("clip_params", state.clip_params),
     )

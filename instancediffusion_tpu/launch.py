@@ -79,7 +79,7 @@ def main(argv=None):
             for k in (
                 "name", "batch_size", "base_learning_rate", "weight_decay",
                 "warmup_steps", "scheduler_type", "total_iters",
-                "save_every_iters", "ema_rate", "seed", "output_dir",
+                "save_every_iters", "ema_rate", "seed", "output_dir", "wandb",
             )
         }
     }

@@ -491,10 +491,12 @@ def apply_unet(
         res_fn = jax.checkpoint(_apply_res_block)
         # gate_scale is closed over statically (training uses a Python 1.0):
         # passing it as a checkpoint argument would re-trace it and route
-        # through lax.cond, which doesn't linearize under remat
+        # through lax.cond, which doesn't linearize under remat. The fuser
+        # mask (dense array or label tuple) is a checkpoint ARGUMENT so
+        # masked-attention training works under remat.
         attn_fn = jax.checkpoint(
-            lambda p, h, ctx, ob: _apply_spatial_transformer(
-                p, h, ctx, ob, cfg.num_heads, gate_scale, None, attn_impl
+            lambda p, h, ctx, ob, mask: _apply_spatial_transformer(
+                p, h, ctx, ob, cfg.num_heads, gate_scale, mask, attn_impl
             )
         )
     else:
@@ -512,8 +514,8 @@ def apply_unet(
             return res_fn(p, h, emb)
         if spec.kind == "attn":
             mask = fuser_mask if spec.ds == 1 else None
-            if remat and mask is None:
-                return attn_fn(p, h, context, objs)
+            if remat:
+                return attn_fn(p, h, context, objs, mask)
             return _apply_spatial_transformer(
                 p, h, context, objs, cfg.num_heads, gate_scale, mask, attn_impl
             )

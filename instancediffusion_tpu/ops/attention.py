@@ -93,14 +93,18 @@ def multi_head_attention(
 
         out = flash_attention(qh, kh, vh, mask=mask, labels=labels)
     elif impl == "pallas_train" and big:
-        # differentiable fused kernel (custom VJP); no mask support — the
-        # training path doesn't use instance masks
+        # differentiable fused kernels (custom VJP); labels route to the
+        # labeled variant whose backward re-applies the in-kernel keep
+        # predicate (masked-attention TRAINING, use_masked_att)
         from instancediffusion_tpu.kernels.flash_attention import (
-            flash_attention_trainable,
+            flash_attention_trainable, flash_attention_trainable_labeled,
         )
 
-        assert mask is None and labels is None
-        out = flash_attention_trainable(qh, kh, vh)
+        assert mask is None, "dense masks train through the XLA path"
+        if labels is not None:
+            out = flash_attention_trainable_labeled(qh, kh, vh, *labels)
+        else:
+            out = flash_attention_trainable(qh, kh, vh)
     else:
         if labels is not None and mask is None:
             mask = labels_to_dense(*labels)

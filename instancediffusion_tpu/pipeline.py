@@ -123,7 +123,21 @@ class InstanceDiffusionPipeline:
 
     # -- text ---------------------------------------------------------------
 
+    _warned_fallback = False
+
     def encode_prompt(self, prompts: list[str]) -> jnp.ndarray:
+        if getattr(self.tokenizer, "is_fallback", False) and not self._warned_fallback:
+            type(self)._warned_fallback = True
+            import warnings
+
+            warnings.warn(
+                "CLIP vocab/merges files not found — tokenizer is using the "
+                "deterministic hash fallback, so token ids (and therefore "
+                "text conditioning) are semantically meaningless. Set "
+                "CLIP_TOKENIZER_DIR to a directory with vocab.json + "
+                "merges.txt for real prompts.",
+                stacklevel=2,
+            )
         ids = np.stack([self.tokenizer.encode(p) for p in prompts])
         return self._encode_text_jit(self.params.clip, jnp.asarray(ids))[
             "last_hidden_state"
@@ -354,3 +368,110 @@ class InstanceDiffusionPipeline:
         )
         images = np.asarray(jnp.clip(images, -1, 1) * 0.5 + 0.5)
         return (images * 255).astype(np.uint8)
+
+    # -- batched eval sampling -------------------------------------------------
+
+    _replicated_params = None
+
+    def generate_batch(
+        self,
+        metas: list[dict],
+        steps: int | None = None,
+        guidance_scale: float | None = None,
+        alpha: float | None = None,
+        seeds: list[int] | None = None,
+        negative_prompt: str | None = None,
+        mesh=None,
+        compute_dtype=jnp.bfloat16,
+    ) -> np.ndarray:
+        """ONE image per meta, all metas stacked on the batch axis of a
+        single sampling program — the grounding tensors are fixed-shape
+        (max_objs-padded), so heterogeneous metas batch structurally.
+
+        With `mesh` (a jax.sharding.Mesh), the batch shards over the 'data'
+        axis and params replicate: this is the BASELINE-mandated replacement
+        for the reference's --num_jobs process splitting
+        (eval_local.py:173-177). len(metas) should be a multiple of the
+        mesh's data size; it is padded (and trimmed after) otherwise.
+        MIS is per-image (variable trajectory counts); use generate() for
+        mis > 0. Returns (len(metas), 512, 512, 3) uint8."""
+        scfg = self.cfg.sampler
+        steps = steps or scfg.steps
+        gs = scfg.guidance_scale if guidance_scale is None else guidance_scale
+        alpha = scfg.alpha if alpha is None else alpha
+        neg = scfg.negative_prompt if negative_prompt is None else negative_prompt
+        mcfg = self.cfg.model
+        n_meta = len(metas)
+        if seeds is None:
+            seeds = list(range(n_meta))
+
+        pad_to = 1
+        if mesh is not None:
+            pad_to = mesh.shape.get("data", 1)
+        b = (n_meta + pad_to - 1) // pad_to * pad_to
+        metas = metas + [metas[-1]] * (b - n_meta)
+        seeds = list(seeds) + [seeds[-1]] * (b - n_meta)
+
+        sched = make_plms_schedule(
+            self.diffusion, steps, [alpha, 0.0, 1.0 - alpha]
+        )
+
+        context = self.encode_prompt([m["prompt"] for m in metas])
+        uc = self.encode_prompt([neg] * b)
+        g_rows = []
+        for m in metas:
+            emb = self.encode_phrases(m["phrases"])
+            g_rows.append(
+                prepare_grounding(
+                    m, emb, batch=1, max_objs=mcfg.max_objs,
+                    in_dim=mcfg.grounding_tokenizer.in_dim,
+                )
+            )
+        g_np = {
+            k: np.concatenate([g[k] for g in g_rows], axis=0) for k in g_rows[0]
+        }
+        grounding = self._to_device_grounding(g_np, b)
+        null_g = unifusion.null_grounding(
+            b, mcfg.max_objs, mcfg.grounding_tokenizer
+        )
+        cond = {
+            "context": context.astype(compute_dtype),
+            "uc": uc.astype(compute_dtype),
+            "grounding": grounding,
+            "null_g": null_g,
+        }
+        # per-meta deterministic noise rows (the reference seeds per image,
+        # eval_local.py:56)
+        x_init = jnp.concatenate(
+            [
+                jax.random.normal(
+                    jax.random.PRNGKey(s),
+                    (1, mcfg.image_size, mcfg.image_size, mcfg.in_channels),
+                )
+                for s in seeds
+            ],
+            axis=0,
+        ).astype(compute_dtype)
+
+        unet_p, vae_p = self.params.unet, self.params.vae
+        if mesh is not None:
+            from instancediffusion_tpu.parallel.mesh import (
+                data_sharding, replicated,
+            )
+
+            dsh, repl = data_sharding(mesh), replicated(mesh)
+            if self._replicated_params is None:
+                self._replicated_params = (
+                    jax.device_put(unet_p, repl), jax.device_put(vae_p, repl)
+                )
+            unet_p, vae_p = self._replicated_params
+            shard = lambda t: jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, dsh), t
+            )
+            cond = shard(cond)
+            x_init = jax.device_put(x_init, dsh)
+
+        sample_fn = self._get_sample_fn((gs, 1, 0))
+        images = sample_fn(unet_p, vae_p, sched, cond, x_init)
+        images = np.asarray(jnp.clip(images, -1, 1) * 0.5 + 0.5)
+        return (images[:n_meta] * 255).astype(np.uint8)

@@ -58,16 +58,15 @@ def mis_sample(
     xs = x_stack.reshape(num_traj, b, *x_init.shape[1:])
     if merge == "crop" and boxes01 is not None:
         # paste each instance trajectory's box crop over the global latent
-        # (plms_instance.py:112-132; NOTE reference indexes rows by x, cols
-        # by y — reproduced)
+        # (plms_instance.py:112-132). The reference slices with
+        # int(box*latent) bounds — data-dependent shapes that can't jit; a
+        # traced box-raster select is numerically identical and compiles.
+        # NOTE reference indexes rows by bbox x, cols by y — reproduced.
         latent = x_init.shape[1]
         x = xs[0]
         for j in range(1, num_traj):
-            x1 = int(boxes01[j - 1, 0] * latent)
-            y1 = int(boxes01[j - 1, 1] * latent)
-            x2 = int(boxes01[j - 1, 2] * latent)
-            y2 = int(boxes01[j - 1, 3] * latent)
-            x = x.at[:, x1:x2, y1:y2, :].set(xs[j][:, x1:x2, y1:y2, :])
+            m = _box_paste_mask(boxes01[j - 1], latent)
+            x = jnp.where(m[None, :, :, None], xs[j], x)
     else:
         x = jnp.mean(xs, axis=0)
 
@@ -80,6 +79,17 @@ def mis_sample(
         assume_history=True,
     )
     return x
+
+
+def _box_paste_mask(box01: jnp.ndarray, latent: int) -> jnp.ndarray:
+    """(4,) xyxy in [0,1] -> (latent, latent) bool paste mask with the
+    reference's exact bounds: int(x*latent) floor, rows = x, cols = y
+    (plms_instance.py:110-125)."""
+    px = jnp.floor(box01 * latent).astype(jnp.int32)
+    r = jnp.arange(latent)
+    row_in = (r >= px[0]) & (r < px[2])
+    col_in = (r >= px[1]) & (r < px[3])
+    return row_in[:, None] & col_in[None, :]
 
 
 def stack_groundings(groundings: list[dict]) -> dict:

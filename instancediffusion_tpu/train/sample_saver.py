@@ -128,6 +128,7 @@ def save_train_samples(
             rows.append(np.concatenate([gen, real[i]], axis=1))
         grid = np.concatenate(rows, axis=0)
         Image.fromarray(grid).save(os.path.join(out_dir, f"batch{bi}.png"))
-        captions_log.append(f"batch{bi}: " + " | ".join(map(str, range(b))))
+        caps = batch.get("caption", [str(i) for i in range(b)])
+        captions_log.append(f"batch{bi}: " + " | ".join(map(str, caps)))
     with open(os.path.join(out_dir, "captions.txt"), "w") as f:
         f.write("\n".join(captions_log) + "\n")

@@ -55,15 +55,14 @@ def make_train_step(cfg: Config, diffusion: DiffusionSchedule, tx,
         z = vae.vae_encode(
             state.vae_params, cfg.autoencoder, image, rngs[0]
         ).astype(jnp.float32)
+        # caption dropout happens dataset-side: decode sets caption="" with
+        # prob 1-prob_use_caption (decode_item.py:762-763) and the collate
+        # tokenizes "", so dropped rows get CLIP("")'s SOT/EOT embedding —
+        # exactly what the reference trains on (trainer.py:156). No masking
+        # here: zeroing the context would break CFG-training parity.
         context = clip_text.apply_clip_text(
             state.clip_params, cfg.text_encoder, batch["caption_ids"]
         )["last_hidden_state"].astype(compute_dtype)
-        # caption dropout (prob_use_caption, dataset-side in the reference):
-        # zero context rows where the batch says no caption
-        if "caption_mask" in batch:
-            context = context * batch["caption_mask"][:, None, None].astype(
-                context.dtype
-            )
 
         # 3-4: forward noising
         t = jnp.minimum(
@@ -92,9 +91,25 @@ def make_train_step(cfg: Config, diffusion: DiffusionSchedule, tx,
         )
         drops = unifusion.train_modality_drops(rngs[4], gcfg)
 
+        # masked instance attention (use_masked_att): per-token labels built
+        # on-device from the box rasters; under drop_all the rasters are
+        # zero, which instance_labels maps to "no masking" (attention.py:200)
+        fuser_mask = None
+        if cfg.model.use_masked_att:
+            from instancediffusion_tpu.kernels.flash_attention import (
+                instance_labels,
+            )
+            from instancediffusion_tpu.ops.instance_mask import rasterize_boxes
+
+            rasters = rasterize_boxes(grounding["boxes"], cfg.model.image_size)
+            rasters = rasters * grounding["masks"][..., None, None]
+            fuser_mask = instance_labels(
+                rasters, cfg.model.max_objs, gcfg.num_seg_tokens
+            )
+
         eps_hat = unet.apply_unet(
             unet_params, cfg.model, x_t, t, context, grounding,
-            gate_scale=1.0, drops=drops,
+            gate_scale=1.0, drops=drops, fuser_mask=fuser_mask,
             remat=cfg.train.gradient_checkpointing and cfg.model.use_checkpoint,
             # fused flash attention with custom VJP on TPU, XLA on CPU
             attn_impl="auto_train",
@@ -108,7 +123,10 @@ def make_train_step(cfg: Config, diffusion: DiffusionSchedule, tx,
         loss, grads = jax.value_and_grad(loss_fn)(
             state.unet_params, state, batch, rng
         )
-        # NaN-skip (trainer.py:86-113): skip the update on non-finite loss
+        # NaN-skip (trainer.py:86-113): the reference skips optimizer,
+        # scheduler AND EMA wholesale on a non-finite loss (only iter_idx
+        # advances). Select old-vs-new on every updated tree so Adam
+        # moments / schedule counter / EMA are untouched on a skip.
         ok = jnp.isfinite(loss)
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
@@ -118,9 +136,15 @@ def make_train_step(cfg: Config, diffusion: DiffusionSchedule, tx,
             lambda p, u: p + u.astype(p.dtype), state.unet_params, updates
         )
         ema_params = update_ema(state.ema_params, unet_params, ema_rate)
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new, old
+        )
         return (
             TrainState(
-                state.step + 1, unet_params, ema_params, opt_state,
+                state.step + 1,
+                keep(unet_params, state.unet_params),
+                keep(ema_params, state.ema_params),
+                keep(opt_state, state.opt_state),
                 state.vae_params, state.clip_params,
             ),
             {"loss": loss, "skipped": ~ok},

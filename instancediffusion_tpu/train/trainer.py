@@ -75,12 +75,16 @@ class Trainer:
         # stored bf16 (fits full-config training in one chip's HBM)
         state = cast_frozen_bf16(state)
 
-        # auto-resume (utils/checkpoint.py:45-72,104-124)
+        # auto-resume (utils/checkpoint.py:45-72,104-124); refuses to resume
+        # with random frozen VAE/CLIP when the ckpt lacks them and no
+        # official ckpt was passed
         self.folder, prev = ckpt_io.expt_folder_with_auto_resume(
             tcfg.output_dir, tcfg.name
         )
         if prev is not None:
-            state = ckpt_io.restore_train_ckpt(prev, state)
+            state = ckpt_io.restore_train_ckpt(
+                prev, state, have_pretrained=pretrained_ckpt is not None
+            )
             print(f"auto-resumed from {prev} at step {int(state.step)}")
 
         self.state = jax.device_put(state, replicated(self.mesh))
@@ -104,6 +108,14 @@ class Trainer:
         self.logger = MetricLogger(
             log_dir=os.path.join(self.folder, "Log") if is_main() else None
         )
+        import dataclasses
+
+        self.config_dict = dataclasses.asdict(cfg)
+        if is_main() and tcfg.wandb:
+            # rank-0 wandb mirror (main_submitit.py:112-119)
+            self.logger.enable_wandb(
+                project="InstDiff", name=tcfg.name, config=self.config_dict
+            )
         if is_main():
             print(
                 f"trainable params: {count_trainable(state.unet_params)/1e6:.1f}M"
@@ -129,19 +141,56 @@ class Trainer:
                     self.logger.log(step, {"loss": loss, "sec/iter": dt / 10})
                 if step % tcfg.ckpt_every_iters == 0 and is_main():
                     ckpt_io.save_train_ckpt(
-                        self.folder, jax.device_get(self.state), None
+                        self.folder, jax.device_get(self.state),
+                        self.config_dict,
                     )
                 if step % tcfg.save_every_iters == 0 and is_main():
                     ckpt_io.save_train_ckpt(
-                        self.folder, jax.device_get(self.state), None,
-                        latest=False, iter_idx=step,
+                        self.folder, jax.device_get(self.state),
+                        self.config_dict, latest=False, iter_idx=step,
                     )
+                    self._save_samples(step)
                 if step >= tcfg.total_iters:
                     break
             epoch += 1
         if is_main():
-            ckpt_io.save_train_ckpt(self.folder, jax.device_get(self.state), None)
+            ckpt_io.save_train_ckpt(
+                self.folder, jax.device_get(self.state), self.config_dict
+            )
             print("Model training is completed!")
+
+    def _save_samples(self, step: int):
+        """In-training visual inspection (the reference's de-facto training
+        test): rank 0 runs the full PLMS sampler on n_sample_batches fresh
+        training batches and writes (generated | real) grids with GT-box
+        overlays — save_ckpt_and_result, utils/checkpoint.py:146-212."""
+        tcfg = self.cfg.train
+        if tcfg.n_sample_batches <= 0:
+            return
+        from instancediffusion_tpu.data.jsondataset import collate
+        from instancediffusion_tpu.train.sample_saver import save_train_samples
+
+        batches = []
+        idx = 0
+        for _ in range(tcfg.n_sample_batches):
+            if idx + tcfg.batch_size > len(self.dataset):
+                break
+            samples = [
+                self.dataset.__getitem__(i, epoch=0)
+                for i in range(idx, idx + tcfg.batch_size)
+            ]
+            batches.append(
+                collate(samples, self.loader.tokenizer, keep_caption=True)
+            )
+            idx += tcfg.batch_size
+        if not batches:
+            return
+        out_dir = os.path.join(self.folder, f"samples_{step:08d}")
+        save_train_samples(
+            self.cfg, self.state, batches, out_dir,
+            steps=tcfg.sample_steps, seed=tcfg.seed,
+        )
+        print(f"saved {len(batches)} sample grids to {out_dir}", flush=True)
 
 
 def _merge_pretrained(init_params, loaded_params):

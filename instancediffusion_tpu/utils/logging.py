@@ -43,7 +43,16 @@ class MetricLogger:
         self.total_iters = total_iters
         self.t_start = time.time()
         self.writer = None
+        self._jsonl = None
         if log_dir is not None:
+            import os
+
+            os.makedirs(log_dir, exist_ok=True)
+            # always-on torch-free scalar log; TensorBoard is an optional
+            # extra (torch.utils.tensorboard needs the tensorboard package)
+            self._jsonl = open(
+                os.path.join(log_dir, "scalars.jsonl"), "a", buffering=1
+            )
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
@@ -68,6 +77,12 @@ class MetricLogger:
                 self.writer.add_scalar(k, v, step)
             if self.wandb is not None:
                 self.wandb.log({k: v}, step=step)
+        if self._jsonl is not None:
+            import json
+
+            self._jsonl.write(
+                json.dumps({"step": step, **values}) + "\n"
+            )
         parts = [f"{k}: {m.smoothed:.4g}" for k, m in self.meters.items()]
         eta = ""
         if self.total_iters:

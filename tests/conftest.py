@@ -1,17 +1,32 @@
 """Test config: force CPU JAX with an 8-device virtual mesh (stands in for a
-v5e-8 slice; SURVEY §4 test strategy) before jax is imported anywhere."""
+v5e-8 slice; SURVEY §4 test strategy).
+
+The session pre-registers a real-TPU backend ("axon") via sitecustomize and
+pins it with jax.config.update("jax_platforms", ...) — which beats the
+JAX_PLATFORMS env var. So force the config back to cpu here, before any
+backend is initialized: tests must be deterministic, multi-device, and not
+compete with benchmarks for the one real chip."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("JAX_PLATFORM_NAME", None)
+_flags = [
+    f
+    for f in os.environ.get("XLA_FLAGS", "").split()
+    if "xla_force_host_platform_device_count" not in f
+]
+_flags.append("--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = " ".join(_flags)
 
-# XLA:CPU's default matmul path (oneDNN) is low-precision (~bf16-level error
-# vs torch fp32); golden parity tests need true fp32 accumulation.
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+# XLA:CPU's default matmul path (oneDNN) is low-precision (~bf16-level error
+# vs torch fp32); golden parity tests need true fp32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert len(jax.devices()) >= 8 and jax.devices()[0].platform == "cpu", (
+    f"conftest failed to force the 8-device CPU mesh: "
+    f"{len(jax.devices())}x {jax.devices()[0].platform}"
+)

@@ -117,3 +117,102 @@ def test_loader_and_collate(tmp_path):
     assert b["image"].shape == (2, 64, 64, 3)
     assert b["caption_ids"].shape == (2, 77)
     assert b["caption_mask"].shape == (2,)
+
+
+def test_att_masks_raster_quirk():
+    """att_masks must reproduce the reference's [x1:x2, y1:y2] row=x quirk
+    (decode_item.py:699-703)."""
+    decoder = SampleDecoder(
+        image_size=128, max_boxes_per_data=4, return_att_masks=True
+    )
+    out = decoder(_fake_record(), np.random.default_rng(0))
+    assert out["att_masks"].shape == (4, 64, 64)
+    for i in range(int(out["masks"].sum())):
+        x1, y1, x2, y2 = np.round(out["boxes"][i] * 64).astype(int)
+        expect = np.zeros((64, 64), np.float32)
+        expect[x1:x2, y1:y2] = 1
+        np.testing.assert_array_equal(out["att_masks"][i], expect)
+
+
+def test_random_drop_embedding_invariants():
+    """'both' never drops image AND text of the same token; 'image' keeps
+    text (decode_item.py:388-420)."""
+    from instancediffusion_tpu.data.jsondataset import (
+        random_drop_embedding_masks,
+    )
+
+    rng = np.random.default_rng(0)
+    masks = np.ones(30, np.float32)
+    saw_img_drop = saw_txt_drop = False
+    for _ in range(50):
+        im, tm = random_drop_embedding_masks(masks, "both", rng)
+        assert ((im + tm) >= 1).all()  # at least one feature per token
+        saw_img_drop |= (im == 0).any()
+        saw_txt_drop |= (tm == 0).any()
+    assert saw_img_drop and saw_txt_drop
+    im, tm = random_drop_embedding_masks(masks, "image", rng)
+    np.testing.assert_array_equal(tm, masks)
+    im, tm = random_drop_embedding_masks(masks, "none", rng)
+    np.testing.assert_array_equal(im, masks)
+    np.testing.assert_array_equal(tm, masks)
+
+
+def test_detection_caption_builder():
+    """Pseudo captions from category names with dup counting + instance
+    captions with stop-word filtering (decode_item.py:357-385,741-762)."""
+    from instancediffusion_tpu.data.jsondataset import (
+        make_a_sentence, make_a_sentence_count_nums, remove_stop_words,
+    )
+
+    assert make_a_sentence(["dog", "dog", "cat"]) == "dog, dog, cat"
+    assert make_a_sentence_count_nums(["dog", "dog", "cat"]) == "2 dog, 1 cat"
+    assert make_a_sentence(["wall-other"], clean=True) == "wall"
+    assert (
+        remove_stop_words("a dog is on the mat") == "dog mat"
+    )
+
+    rec = _fake_record(n_annos=2)
+    rec["is_det"] = True
+    for i, a in enumerate(rec["annos"]):
+        a["category_name"] = "dog"
+    out = SampleDecoder(image_size=128, max_boxes_per_data=4,
+                        count_dups_make_a_sentence=True)(
+        rec, np.random.default_rng(0)
+    )
+    assert out["caption"].startswith("2 dog. ")
+    # per-instance captions ride along
+    assert out["obj_captions"][0].startswith("dog, object")
+
+
+def test_random_crop_decode():
+    decoder = SampleDecoder(
+        image_size=128, max_boxes_per_data=4, random_crop=True,
+        random_flip=False,
+    )
+    out = decoder(_fake_record(), np.random.default_rng(0))
+    assert out["image"].shape == (128, 128, 3)
+    assert (out["boxes"] >= 0).all() and (out["boxes"] <= 1).all()
+    # at least one instance should survive a 0.8-1.0 crop of this layout
+    assert out["masks"].sum() >= 1
+
+
+def test_instance_grounding_from_batch():
+    from instancediffusion_tpu.data.grounding_input import (
+        instance_grounding_from_batch,
+    )
+
+    decoder = SampleDecoder(image_size=64, max_boxes_per_data=4)
+    samples = [
+        decoder(_fake_record(seed=i), np.random.default_rng(i))
+        for i in range(2)
+    ]
+    batch = collate(samples)
+    g = instance_grounding_from_batch(batch, k=1)
+    assert g["boxes"].shape == batch["boxes"].shape
+    np.testing.assert_array_equal(g["boxes"][:, 0], batch["boxes"][:, 1])
+    np.testing.assert_array_equal(g["segs"][:, 0], batch["segs"][:, 1])
+    np.testing.assert_array_equal(
+        g["positive_embeddings"][:, 0], batch["text_embeddings"][:, 1]
+    )
+    assert g["masks"][:, 1:].sum() == 0  # only slot 0 populated
+    np.testing.assert_array_equal(g["text_masks"], g["masks"])

@@ -148,3 +148,57 @@ def test_masked_attention_end_to_end():
     )
     ours = ours @ sd["to_out.0.weight"].T + sd["to_out.0.bias"]
     np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-3, atol=1e-4)
+
+
+def test_labeled_flash_backward_matches_xla():
+    """flash_attention_trainable_labeled (interpret mode on CPU): forward
+    AND gradients must match XLA attention under the dense label mask —
+    the masked-attention TRAINING path (use_masked_att=True)."""
+    import jax
+
+    from instancediffusion_tpu.kernels.flash_attention import (
+        flash_attention_trainable_labeled,
+    )
+    from instancediffusion_tpu.ops.attention import labels_to_dense, sdpa_xla
+
+    att_masks, _ = _setup()
+    bits, open_ = instance_labels(jnp.asarray(att_masks), N_OBJS, SEG)
+    rng = np.random.RandomState(1)
+    b, h, c = 1, 2, 32
+    q = rng.randn(b, h, N_TOTAL, c).astype(np.float32)
+    k = rng.randn(b, h, N_TOTAL, c).astype(np.float32)
+    v = rng.randn(b, h, N_TOTAL, c).astype(np.float32)
+    g = rng.randn(b, h, N_TOTAL, c).astype(np.float32)
+
+    def loss_kernel(q, k, v):
+        out = flash_attention_trainable_labeled(
+            q, k, v, bits, open_, 64, 64, True  # block sizes, interpret
+        )
+        return jnp.sum(out * g)
+
+    def loss_xla(q, k, v):
+        out = sdpa_xla(q, k, v, mask=labels_to_dense(bits, open_))
+        return jnp.sum(out * g)
+
+    out_k = flash_attention_trainable_labeled(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), bits, open_, 64, 64,
+        True,
+    )
+    out_x = sdpa_xla(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        mask=labels_to_dense(bits, open_),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_x), rtol=2e-5, atol=2e-5
+    )
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    )
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    )
+    for a, b_ in zip(gk, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-5, atol=5e-5
+        )

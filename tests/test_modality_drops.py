@@ -1,0 +1,83 @@
+"""Distributional parity of train_modality_drops vs the reference's
+training dropout pipeline (text_grounding_net.py:189-213): independent 10%
+per-modality drops -> reset_dropout_train hierarchy fixups (:126-184) ->
+the all-dropped => keep-box fixup (:211-213).
+
+The reference logic is a nest of stateful flag fixups that is easy to
+mistranscribe; this test re-derives it literally in NumPy and compares the
+joint distribution over all 32 (point,box,scribble,polygons,segs) outcomes
+on ~40k draws."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from instancediffusion_tpu.config import UniFusionConfig
+from instancediffusion_tpu.models import unifusion
+
+
+def reference_draw(rng: np.random.Generator):
+    """Literal transcription of the reference's flag pipeline
+    (text_grounding_net.py:189-213 with reset_dropout_train :126-184),
+    with all add_* True (train_sd15.yaml)."""
+    drop_box = rng.random() < 0.1
+    drop_point = rng.random() < 0.1
+    drop_scribble = rng.random() < 0.1
+    drop_polygons = rng.random() < 0.1
+    drop_segs = drop_polygons
+
+    # reset_dropout_train (:127-131)
+    if not drop_polygons:
+        drop_box = False
+        drop_point = False
+    if not drop_box or not drop_polygons:
+        drop_point = False
+
+    # keep point only, 10% (:133-141)
+    if rng.random() < 0.1:
+        drop_point, drop_box = False, True
+        drop_scribble, drop_polygons, drop_segs = True, True, True
+    # keep_scribble_only / keep_mask_only ratios are 0.0 (:143-161) — the
+    # reference still draws rand(); distribution is unaffected, skip
+    # keep seg only, 10% (:163-171)
+    if rng.random() < 0.1 and not drop_segs:
+        drop_point, drop_box, drop_scribble = False, False, True
+        drop_polygons, drop_segs = False, False
+    # keep_box_only ratio 0.0 (:173-181) — skip
+
+    # all-dropped => keep box (:211-213)
+    if drop_point and drop_box and drop_scribble and drop_polygons and drop_segs:
+        drop_box = False
+    return (drop_point, drop_box, drop_scribble, drop_polygons, drop_segs)
+
+
+def test_train_modality_drops_distribution():
+    n = 40000
+    cfg = UniFusionConfig()
+
+    # ours, vmapped over keys; resolve_keep_box applies the :211-213 fixup
+    def draw(key):
+        d = unifusion.train_modality_drops(key, cfg).resolve_keep_box()
+        return jnp.stack(
+            [d.drop_point, d.drop_box, d.drop_scribble, d.drop_polygons,
+             d.drop_segs]
+        )
+
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    ours = np.asarray(jax.jit(jax.vmap(draw))(keys))  # (n, 5) bool
+
+    rng = np.random.default_rng(42)
+    ref = np.asarray([reference_draw(rng) for _ in range(n)])  # (n, 5)
+
+    weights = 2 ** np.arange(5)
+    ours_hist = np.bincount(ours @ weights, minlength=32) / n
+    ref_hist = np.bincount(ref @ weights, minlength=32) / n
+
+    # identical SUPPORT (no outcome one side can produce that the other
+    # can't) and matching probabilities within Monte-Carlo noise
+    assert set(np.nonzero(ours_hist)[0]) == set(np.nonzero(ref_hist)[0]), (
+        f"support mismatch:\nours={np.nonzero(ours_hist)[0]}\n"
+        f"ref ={np.nonzero(ref_hist)[0]}"
+    )
+    np.testing.assert_allclose(ours_hist, ref_hist, atol=0.01)

@@ -1,0 +1,176 @@
+"""Multi-device mesh correctness on the conftest's 8-device virtual CPU
+platform: the sharded train step and the batch-sharded PLMS sampler must
+reproduce single-device numerics (the DDP-equivalence property — reference
+syncs grads by NCCL allreduce, utils/dist.py:29-37 + trainer.py:55-57; here
+the psum XLA inserts for batch-sharded loss under replicated params plays
+that role)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from instancediffusion_tpu.config import (
+    Config, DataConfig, TextEncoderConfig, UNetConfig, UniFusionConfig,
+    VAEConfig,
+)
+from instancediffusion_tpu.parallel.mesh import (
+    data_sharding, make_mesh, replicated,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+
+
+def tiny_cfg():
+    gcfg = UniFusionConfig(
+        in_dim=16, out_dim=16, mid_dim=16, fourier_freqs=2,
+        fourier_freqs_polygons=2, n_scribble_points=2, n_polygon_points=4,
+        seg_channels=2, seg_resize_input=64,
+    )
+    return Config(
+        model=UNetConfig(
+            image_size=8, model_channels=32, num_heads=4, context_dim=16,
+            max_objs=2, grounding_tokenizer=gcfg,
+        ),
+        autoencoder=VAEConfig(ch=32, ch_mult=(1, 2), resolution=32),
+        text_encoder=TextEncoderConfig(
+            vocab_size=128, hidden_size=16, intermediate_size=32,
+            num_hidden_layers=1, num_attention_heads=2,
+        ),
+        data=DataConfig(image_size=32),
+    )
+
+
+def make_batch(cfg, b, seed=0):
+    r = np.random.RandomState(seed)
+    g = cfg.model.grounding_tokenizer
+    n = cfg.model.max_objs
+    ex = cfg.data.image_size
+    return {
+        "image": r.randn(b, ex, ex, 3).astype(np.float32) * 0.1,
+        "caption_ids": r.randint(0, 100, (b, 77)).astype(np.int32),
+        "boxes": np.tile(
+            np.asarray([0.1, 0.1, 0.6, 0.6], np.float32), (b, n, 1)
+        ),
+        "masks": np.ones((b, n), np.float32),
+        "text_masks": np.ones((b, n), np.float32),
+        "text_embeddings": r.randn(b, n, g.in_dim).astype(np.float32),
+        "scribbles": r.rand(b, n, g.n_scribble_points * 2).astype(np.float32),
+        "polygons": r.rand(b, n, g.n_polygon_points * 2).astype(np.float32),
+        "segs": np.zeros((b, n, g.seg_resize_input, g.seg_resize_input),
+                         np.float32),
+        "points": np.full((b, n, 2), 0.35, np.float32),
+    }
+
+
+def _train_once(cfg, diffusion, batch, n_devices):
+    """One full train step (fp32 compute for exact comparison) on an
+    n_devices data mesh; returns (loss, updated trainable params)."""
+    from instancediffusion_tpu.train.optimizer import (
+        make_optimizer, trainable_mask,
+    )
+    from instancediffusion_tpu.train.train_step import (
+        init_train_state, make_train_step,
+    )
+
+    mesh = make_mesh(devices=jax.devices()[:n_devices])
+    state = init_train_state(cfg, seed=0)
+    tx = make_optimizer(learning_rate=1e-3, params=state.unet_params)
+    state = state._replace(opt_state=tx.init(state.unet_params))
+    step = jax.jit(make_train_step(cfg, diffusion, tx,
+                                   compute_dtype=jnp.float32))
+
+    state = jax.device_put(state, replicated(mesh))
+    batch = {k: jax.device_put(v, data_sharding(mesh)) for k, v in batch.items()}
+    rng = jax.device_put(jax.random.PRNGKey(7), replicated(mesh))
+    new_state, metrics = step(state, batch, rng)
+    mask = trainable_mask(new_state.unet_params)
+    trained = [
+        np.asarray(p)
+        for p, m in zip(
+            jax.tree_util.tree_leaves(new_state.unet_params),
+            jax.tree_util.tree_leaves(mask),
+        )
+        if m
+    ]
+    return float(metrics["loss"]), trained
+
+
+def test_sharded_train_step_matches_single_device():
+    from instancediffusion_tpu.ops.schedules import make_diffusion_schedule
+
+    cfg = tiny_cfg()
+    diffusion = make_diffusion_schedule(
+        cfg.diffusion.beta_schedule, cfg.diffusion.timesteps,
+        cfg.diffusion.linear_start, cfg.diffusion.linear_end,
+    )
+    batch = make_batch(cfg, b=8)
+    loss1, p1 = _train_once(cfg, diffusion, batch, n_devices=1)
+    loss8, p8 = _train_once(cfg, diffusion, batch, n_devices=8)
+
+    assert np.isfinite(loss1)
+    np.testing.assert_allclose(loss8, loss1, rtol=2e-5)
+    for a, b_ in zip(p1, p8):
+        np.testing.assert_allclose(b_, a, rtol=2e-4, atol=1e-6)
+
+
+def test_sharded_plms_sample_matches_unsharded():
+    from instancediffusion_tpu.models import unet, unifusion
+    from instancediffusion_tpu.ops.schedules import make_diffusion_schedule
+    from instancediffusion_tpu.samplers.plms import (
+        make_plms_schedule, plms_sample,
+    )
+
+    cfg = tiny_cfg()
+    mcfg = cfg.model
+    diffusion = make_diffusion_schedule(
+        cfg.diffusion.beta_schedule, cfg.diffusion.timesteps,
+        cfg.diffusion.linear_start, cfg.diffusion.linear_end,
+    )
+    sched = make_plms_schedule(diffusion, 10, [0.8, 0.0, 0.2])
+    params = unet.init_unet(jax.random.PRNGKey(0), mcfg)
+    b = 8
+    ctx = np.random.RandomState(1).randn(b, 77, mcfg.context_dim).astype(
+        np.float32
+    )
+    x_init = np.random.RandomState(2).randn(
+        b, mcfg.image_size, mcfg.image_size, mcfg.in_channels
+    ).astype(np.float32)
+    null_g = unifusion.null_grounding(
+        b, mcfg.max_objs, mcfg.grounding_tokenizer
+    )
+
+    def run(n_devices):
+        mesh = make_mesh(devices=jax.devices()[:n_devices])
+        repl, dsh = replicated(mesh), data_sharding(mesh)
+        p = jax.device_put(params, repl)
+        c = jax.device_put(jnp.asarray(ctx), dsh)
+        g = jax.device_put(null_g, dsh)
+        x = jax.device_put(jnp.asarray(x_init), dsh)
+
+        def sample_fn(p, c, g, x):
+            objs, _ = unifusion.apply_unifusion(
+                p["position_net"], mcfg.grounding_tokenizer, g,
+                unifusion.ModalityDrops.test_defaults(
+                    mcfg.grounding_tokenizer
+                ),
+            )
+
+            def model_fn(xx, tt, gate):
+                return unet.apply_unet(
+                    p, mcfg, xx, tt, c, None, gate_scale=gate,
+                    precomputed_objs=objs,
+                )
+
+            return plms_sample(model_fn, sched, x)
+
+        out = jax.jit(sample_fn)(p, c, g, x)
+        return np.asarray(out)
+
+    z1 = run(1)
+    z8 = run(8)
+    assert np.all(np.isfinite(z1))
+    np.testing.assert_allclose(z8, z1, rtol=5e-5, atol=5e-6)

@@ -115,3 +115,44 @@ def test_demo_json_parsing(tmp_path):
     # masks are zeroed by default (reference quirk) -> polygons all zero
     assert all(v == 0 for v in meta["polygons"][0])
     assert len(meta["scribbles"][0]) == 40
+
+
+def test_generate_batch_matches_per_image_and_shards(pipe):
+    """Batched eval generation: a 2-meta batch equals the two per-image
+    samples row-for-row (same per-meta seeds and schedule), and the same
+    call runs sharded over the 8-device mesh with identical output."""
+    import jax
+
+    import instancediffusion_tpu.data.grounding_input as gi
+    from instancediffusion_tpu.parallel.mesh import make_mesh
+
+    meta = _patch_meta(pipe)
+    meta2 = dict(meta)
+    meta2["prompt"] = "other shapes"
+    g = pipe.cfg.model.grounding_tokenizer
+    old = (gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE)
+    gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = (
+        g.n_scribble_points, g.n_polygon_points, g.seg_resize_input,
+    )
+    try:
+        batch = pipe.generate_batch(
+            [meta, meta2], steps=5, seeds=[11, 22], alpha=0.75
+        )
+        size = pipe.cfg.model.image_size * 2
+        assert batch.shape == (2, size, size, 3)
+        assert not np.array_equal(batch[0], batch[1])
+
+        if len(jax.devices()) >= 2:
+            mesh = make_mesh(devices=jax.devices()[:2])
+            sharded = pipe.generate_batch(
+                [meta, meta2], steps=5, seeds=[11, 22], alpha=0.75, mesh=mesh
+            )
+            np.testing.assert_array_equal(batch, sharded)
+            # padding path: 3 metas on a 2-device mesh
+            three = pipe.generate_batch(
+                [meta, meta2, meta], steps=5, seeds=[11, 22, 33], mesh=mesh
+            )
+            assert three.shape == (3, size, size, 3)
+            np.testing.assert_array_equal(three[0], batch[0])
+    finally:
+        gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = old

@@ -198,3 +198,32 @@ def test_ddim_eta0_matches_reference_formula(schedules):
         pred_x0 = (x - sched.sqrt_one_minus_a_t[i] * e) / np.sqrt(sched.a_t[i])
         x = np.sqrt(sched.a_prev[i]) * pred_x0 + np.sqrt(1 - sched.a_prev[i]) * e
     np.testing.assert_allclose(ours, x, rtol=1e-4, atol=1e-5)
+
+
+def test_mis_crop_merge_matches_reference_slicing():
+    """The traced crop-and-paste merge must equal the reference's eager
+    tensor slicing (plms_instance.py:110-132: int() floor bounds, rows
+    indexed by bbox x, cols by y) — and it must run under jit."""
+    import jax
+    import jax.numpy as jnp
+
+    from instancediffusion_tpu.samplers.mis import _box_paste_mask
+
+    rng = np.random.RandomState(0)
+    latent, b, c = 16, 2, 4
+    base = rng.randn(b, latent, latent, c).astype(np.float32)
+    inst = rng.randn(b, latent, latent, c).astype(np.float32)
+    boxes = np.asarray([[0.13, 0.27, 0.62, 0.81]], np.float32)
+
+    # reference semantics (NCHW slice, x rows / y cols, int() floor)
+    x1, y1, x2, y2 = (int(v * latent) for v in boxes[0])
+    expect = base.copy()
+    expect[:, x1:x2, y1:y2, :] = inst[:, x1:x2, y1:y2, :]
+
+    @jax.jit
+    def merge(base, inst, box01):
+        m = _box_paste_mask(box01, latent)
+        return jnp.where(m[None, :, :, None], inst, base)
+
+    got = np.asarray(merge(base, inst, jnp.asarray(boxes[0])))
+    np.testing.assert_array_equal(got, expect)

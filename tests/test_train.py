@@ -129,3 +129,109 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(restored.unet_params["w"]), np.arange(6.0).reshape(2, 3)
     )
+
+
+def make_train_batch(cfg, b=2, seed=0):
+    r = np.random.RandomState(seed)
+    g = cfg.model.grounding_tokenizer
+    n = cfg.model.max_objs
+    ex = 32
+    return {
+        "image": r.randn(b, ex, ex, 3).astype(np.float32) * 0.1,
+        "caption_ids": r.randint(0, 100, (b, 77)).astype(np.int32),
+        "boxes": np.tile(
+            np.asarray([0.1, 0.1, 0.6, 0.6], np.float32), (b, n, 1)
+        ),
+        "masks": np.ones((b, n), np.float32),
+        "text_masks": np.ones((b, n), np.float32),
+        "text_embeddings": r.randn(b, n, g.in_dim).astype(np.float32),
+        "scribbles": r.rand(b, n, g.n_scribble_points * 2).astype(np.float32),
+        "polygons": r.rand(b, n, g.n_polygon_points * 2).astype(np.float32),
+        "segs": np.zeros(
+            (b, n, g.seg_resize_input, g.seg_resize_input), np.float32
+        ),
+        "points": np.full((b, n, 2), 0.35, np.float32),
+    }
+
+
+_SETUP_CACHE = {}
+
+
+def _train_setup(cfg):
+    """One compiled train step per test module (compiles are minutes on
+    this 1-core host); states are pure data and can be reused/replaced."""
+    if "v" in _SETUP_CACHE:
+        return _SETUP_CACHE["v"]
+    from instancediffusion_tpu.ops.schedules import make_diffusion_schedule
+    from instancediffusion_tpu.train.train_step import (
+        init_train_state, make_train_step,
+    )
+
+    diffusion = make_diffusion_schedule(
+        cfg.diffusion.beta_schedule, cfg.diffusion.timesteps,
+        cfg.diffusion.linear_start, cfg.diffusion.linear_end,
+    )
+    state = init_train_state(cfg, seed=0)
+    tx = opt_mod.make_optimizer(learning_rate=1e-3, params=state.unet_params)
+    state = state._replace(opt_state=tx.init(state.unet_params))
+    step = jax.jit(make_train_step(cfg, diffusion, tx,
+                                   compute_dtype=jnp.float32))
+    _SETUP_CACHE["v"] = (state, step)
+    return state, step
+
+
+def test_dropped_caption_feeds_clip_of_empty_string_not_zeros():
+    """Caption dropout parity: the reference encodes caption="" for dropped
+    rows (trainer.py:156 + decode_item.py:762-763) — a NON-zero SOT/EOT
+    embedding. The train step must not zero the context (there is no
+    caption_mask multiply), so loss depends only on caption_ids."""
+    from instancediffusion_tpu.data.tokenizer import CLIPTokenizer
+    from instancediffusion_tpu.models import clip_text
+
+    cfg = tiny_cfg()
+    tok = CLIPTokenizer.load_default()
+    empty_ids = tok.encode("")  # SOT + EOT padding
+    state, step = _train_setup(cfg)
+
+    # CLIP("") is a non-zero context
+    ids = jnp.asarray(empty_ids % cfg.text_encoder.vocab_size)[None]
+    ctx = clip_text.apply_clip_text(
+        state.clip_params, cfg.text_encoder, ids
+    )["last_hidden_state"]
+    assert float(jnp.abs(ctx).max()) > 0
+
+    # train step result is invariant to any caption_mask key
+    batch = make_train_batch(cfg)
+    batch["caption_ids"] = np.tile(
+        np.asarray(empty_ids % cfg.text_encoder.vocab_size, np.int32),
+        (2, 1),
+    )
+    rng = jax.random.PRNGKey(3)
+    _, m_plain = step(state, dict(batch), rng)
+    b2 = dict(batch)
+    b2["caption_mask"] = np.zeros((2,), np.float32)
+    _, m_masked = step(state, b2, rng)
+    np.testing.assert_allclose(
+        float(m_plain["loss"]), float(m_masked["loss"]), rtol=1e-6
+    )
+
+
+def test_nan_loss_skips_entire_update():
+    """Reference skips optimizer+scheduler+EMA wholesale on NaN loss and
+    only advances iter_idx (trainer.py:86-113)."""
+    cfg = tiny_cfg()
+    state, step = _train_setup(cfg)
+    batch = make_train_batch(cfg)
+    batch["image"] = np.full_like(batch["image"], np.nan)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert bool(metrics["skipped"])
+    assert int(new_state.step) == int(state.step) + 1
+    for old, new in (
+        (state.unet_params, new_state.unet_params),
+        (state.ema_params, new_state.ema_params),
+        (state.opt_state, new_state.opt_state),
+    ):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(old), jax.tree_util.tree_leaves(new)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
