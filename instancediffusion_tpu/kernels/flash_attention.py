@@ -8,11 +8,22 @@ scratch.
 
 Covers the three attention shapes in the UNet (SURVEY §5.7):
   * self-attention over visual tokens (N = M up to 64x64 = 4096)
-  * cross-attention to 77 text tokens (M = 77, padded to 128)
-  * gated self-attention over [visual | grounding] tokens (N = 4280),
+  * cross-attention to 77 text tokens (M = 77, padded to one k-block)
+  * gated self-attention over [visual | grounding] tokens (M = 4280),
     with the instance mask expressed as PER-TOKEN LABELS evaluated
     in-kernel (see instance mask encoding below) instead of the
     reference's materialized (B,1,N,N) float mask (attention.py:200-255)
+
+Kernel design (all choices measured on a v5e chip — tools/kernel_bench.py):
+  * head dim stays UNPADDED in HBM (40/80/160); Mosaic pads tiles in VMEM.
+    Padding to 128 lanes in HBM cost ~5 ms/fwd of pure pad copies.
+  * softmax scale folded into q once (N*d mults) instead of per score
+    block (N*M)
+  * python-unrolled k loop (fori_loop serializes Mosaic's pipeline;
+    unrolling bought ~22% on the dominant 4096-token shape)
+  * k-padding mask applied ONLY on the tail k-block that actually
+    straddles kv_len; full blocks skip the iota/compare/select entirely
+  * fp32 softmax state, bf16 matmul inputs with fp32 accumulation
 
 Instance-mask label encoding (ops/instance_mask.py semantics, kernel form):
   each token carries (bits: int32, open: int32) where
@@ -23,11 +34,12 @@ Instance-mask label encoding (ops/instance_mask.py semantics, kernel form):
   keep(i,j) = open_i | open_j | (bits_i & bits_j) != 0 | i == j
   which reproduces: visual<->visual only within a shared instance (+diag),
   restricted grounding rows/cols limited to their instance's pixels,
-  open rows/cols and grounding<->grounding unmasked.
+  open rows/cols and grounding<->grounding unmasked. Labels index SEQUENCE
+  positions, so q may cover just the first N rows of the M-token sequence
+  (the fuser discards grounding-token outputs, attention.py:309 `[:, :N]`).
 
 Grid: (batch*heads, num_q_blocks); the K/M loop runs inside the kernel so
-the running softmax state stays in registers/VMEM. Head dim is padded to
-the 128-lane MXU width (SD1.5 head dims are 40/80/160).
+the running softmax state stays in registers/VMEM.
 """
 
 from __future__ import annotations
@@ -48,59 +60,81 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _flash_kernel(
-    q_ref, k_ref, v_ref, out_ref, *, block_k: int, seq_k: int, scale: float,
-    kv_len: int,
-):
-    """Single (q-block x full-K) flash pass. Refs are (1, block_q, d) /
-    (1, seq_k_padded, d) in VMEM.
+def _pick_blocks(n: int, m: int, block_q: int, block_k: int):
+    """Clamp block sizes for short sequences (cross-attn M=77, low-res
+    levels N=256) so padding never exceeds one tile."""
+    bq = min(block_q, _ceil_to(n, 8))
+    bk = min(block_k, _ceil_to(m, 128))
+    return bq, bk
 
-    Matmuls run at the input dtype (bf16 -> full MXU rate) with fp32
-    accumulation; only softmax state is fp32."""
-    q = q_ref[0]  # input dtype (bf16 on TPU)
+
+# ---------------------------------------------------------------------------
+# Forward kernels
+# ---------------------------------------------------------------------------
+
+
+def _softmax_step(q, k, v, s_extra_mask, carry):
+    """One online-softmax accumulation step. s_extra_mask: None or a bool
+    (block_q, block_k) keep-mask already combined with kv-padding."""
+    acc, m_prev, l_prev = carry
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if s_extra_mask is not None:
+        s = jnp.where(s_extra_mask, s, NEG_INF)
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc = acc * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return acc, m_new, l_new
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, out_ref, lse_ref=None, *,
+    block_k: int, seq_k: int, kv_len: int, with_lse: bool = False,
+):
+    """(q-block x full-K) flash pass; scale pre-folded into q. The kv-pad
+    mask runs only on the tail block that straddles kv_len."""
+    q = q_ref[0]
     block_q, d = q.shape
     num_kb = seq_k // block_k
 
-    def body(kb, carry):
-        acc, m_prev, l_prev = carry
+    acc = jnp.zeros((block_q, d), jnp.float32)
+    m_prev = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l_prev = jnp.zeros((block_q, 1), jnp.float32)
+    carry = (acc, m_prev, l_prev)
+    for kb in range(num_kb):
         k = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (block_q, block_k) fp32
-        # mask out K padding
-        col = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        s = jnp.where(col < kv_len, s, NEG_INF)
-
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return acc, m_new, l_new
-
-    acc = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
+        if (kb + 1) * block_k > kv_len:
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            mask = col < kv_len
+        else:
+            mask = None
+        carry = _softmax_step(q, k, v, mask, carry)
+    acc, m, l = carry
     out_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+    if with_lse:
+        lse_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
 
 
 def _flash_kernel_labeled(
     bits_q_ref, open_q_ref, bits_k_ref, open_k_ref,
-    q_ref, k_ref, v_ref, out_ref,
-    *, block_k: int, seq_k: int, scale: float, kv_len: int, block_q: int,
+    q_ref, k_ref, v_ref, out_ref, lse_ref=None,
+    *, block_k: int, seq_k: int, kv_len: int, block_q: int,
+    with_lse: bool = False,
 ):
     """Flash pass with the instance-mask predicate evaluated in-kernel from
-    per-token labels. Label refs are (1, N) int32 rows in VMEM."""
+    per-token labels. Label refs are (1, seq) int32 rows in VMEM."""
     qb = pl.program_id(1)
-    q = q_ref[0]  # input dtype; matmuls accumulate fp32
+    q = q_ref[0]
     d = q.shape[1]
     num_kb = seq_k // block_k
 
@@ -110,42 +144,47 @@ def _flash_kernel_labeled(
         jnp.int32, (block_q, block_k), 0
     )
 
-    def body(kb, carry):
-        acc, m_prev, l_prev = carry
+    acc = jnp.zeros((block_q, d), jnp.float32)
+    m_prev = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l_prev = jnp.zeros((block_q, 1), jnp.float32)
+    carry = (acc, m_prev, l_prev)
+    for kb in range(num_kb):
         k = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
         bk = bits_k_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
         ok = open_k_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
         col = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
         )
-        keep = (
-            (oq > 0)
-            | (ok > 0)
-            | ((bq & bk) != 0)
-            | (row == col)
-        ) & (col < kv_len)
-        s = jnp.where(keep, s, NEG_INF)
-
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return acc, m_new, l_new
-
-    acc = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
+        keep = (oq > 0) | (ok > 0) | ((bq & bk) != 0) | (row == col)
+        if (kb + 1) * block_k > kv_len:
+            keep = keep & (col < kv_len)
+        carry = _softmax_step(q, k, v, keep, carry)
+    acc, m, l = carry
     out_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+    if with_lse:
+        lse_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+
+
+def _prep_qkv(q, k, v, block_q, block_k, scale):
+    """(B,H,N,C) -> padded (B*H, npad, C) with scale folded into q.
+    Head dim is NOT padded (Mosaic handles minor dims equal to the full
+    array dim); only sequence axes pad to block multiples."""
+    b, h, n, c = q.shape
+    m = k.shape[2]
+    npad = _ceil_to(n, block_q)
+    mpad = _ceil_to(m, block_k)
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, npad - n), (0, 0))).reshape(
+        b * h, npad, c
+    )
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, mpad - m), (0, 0))).reshape(
+        b * h, mpad, c
+    )
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, mpad - m), (0, 0))).reshape(
+        b * h, mpad, c
+    )
+    return qp, kp, vp, npad, mpad
 
 
 @functools.partial(
@@ -156,13 +195,14 @@ def flash_attention(
     k: jnp.ndarray,   # (B, H, M, C)
     v: jnp.ndarray,   # (B, H, M, C)
     mask: jnp.ndarray | None = None,        # unsupported here; use labels
-    labels: tuple | None = None,            # (bits (B,N), open (B,N)) int32
+    labels: tuple | None = None,            # (bits (B,M), open (B,M)) int32
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused attention. For instance masking pass `labels`; a dense `mask`
-    falls back to the XLA path (kept for API parity)."""
+    """Fused attention. For instance masking pass `labels` (indexed by
+    SEQUENCE position over the M k-tokens; q covers the first N positions);
+    a dense `mask` falls back to the XLA path (kept for API parity)."""
     if mask is not None:
         from instancediffusion_tpu.ops.attention import sdpa_xla
 
@@ -171,86 +211,73 @@ def flash_attention(
     b, h, n, c = q.shape
     m = k.shape[2]
     scale = 1.0 / math.sqrt(c)
-
-    # pad: head dim to 128 lanes, sequences to block multiples
-    cp = _ceil_to(c, 128)
-    npad = _ceil_to(n, block_q)
-    mpad = _ceil_to(m, block_k)
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, npad - n), (0, cp - c)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, mpad - m), (0, cp - c)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, mpad - m), (0, cp - c)))
-    qp = qp.reshape(b * h, npad, cp)
-    kp = kp.reshape(b * h, mpad, cp)
-    vp = vp.reshape(b * h, mpad, cp)
-
+    block_q, block_k = _pick_blocks(n, m, block_q, block_k)
+    qp, kp, vp, npad, mpad = _prep_qkv(q, k, v, block_q, block_k, scale)
     grid = (b * h, npad // block_q)
 
     if labels is None:
         out = pl.pallas_call(
             functools.partial(
-                _flash_kernel, block_k=block_k, seq_k=mpad, scale=scale,
-                kv_len=m,
+                _flash_kernel, block_k=block_k, seq_k=mpad, kv_len=m,
             ),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, cp), lambda bh, qb: (bh, qb, 0),
+                pl.BlockSpec((1, block_q, c), lambda bh, qb: (bh, qb, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, mpad, cp), lambda bh, qb: (bh, 0, 0),
+                pl.BlockSpec((1, mpad, c), lambda bh, qb: (bh, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, mpad, cp), lambda bh, qb: (bh, 0, 0),
+                pl.BlockSpec((1, mpad, c), lambda bh, qb: (bh, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, block_q, cp), lambda bh, qb: (bh, qb, 0),
+                (1, block_q, c), lambda bh, qb: (bh, qb, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((b * h, npad, cp), q.dtype),
+            out_shape=jax.ShapeDtypeStruct((b * h, npad, c), q.dtype),
             interpret=interpret,
         )(qp, kp, vp)
     else:
-        bits, open_ = labels  # (B, N) int32 each; N == M (self-attn only)
-        assert n == m, "labels imply self-attention"
-        bits_p = jnp.pad(bits, ((0, 0), (0, npad - n)))
-        open_p = jnp.pad(open_, ((0, 0), (0, npad - n)))
-        # expand over heads
-        bits_p = jnp.repeat(bits_p, h, axis=0)
-        open_p = jnp.repeat(open_p, h, axis=0)
+        bits, open_ = labels  # (B, M) int32, sequence-position indexed
+        assert bits.shape[1] == m, "labels must cover the k sequence"
+        lbl_len = max(npad, mpad)
+        bits_p, open_p = _pad_labels(bits, open_, lbl_len, h)
+        lbl_spec = pl.BlockSpec((1, lbl_len), lambda bh, qb: (bh, 0),
+                                memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             functools.partial(
                 _flash_kernel_labeled, block_k=block_k, seq_k=mpad,
-                scale=scale, kv_len=m, block_q=block_q,
+                kv_len=m, block_q=block_q,
             ),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, npad), lambda bh, qb: (bh, 0),
+                lbl_spec, lbl_spec, lbl_spec, lbl_spec,
+                pl.BlockSpec((1, block_q, c), lambda bh, qb: (bh, qb, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, npad), lambda bh, qb: (bh, 0),
+                pl.BlockSpec((1, mpad, c), lambda bh, qb: (bh, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, mpad), lambda bh, qb: (bh, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, mpad), lambda bh, qb: (bh, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q, cp), lambda bh, qb: (bh, qb, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, mpad, cp), lambda bh, qb: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, mpad, cp), lambda bh, qb: (bh, 0, 0),
+                pl.BlockSpec((1, mpad, c), lambda bh, qb: (bh, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, block_q, cp), lambda bh, qb: (bh, qb, 0),
+                (1, block_q, c), lambda bh, qb: (bh, qb, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((b * h, npad, cp), q.dtype),
+            out_shape=jax.ShapeDtypeStruct((b * h, npad, c), q.dtype),
             interpret=interpret,
         )(bits_p, open_p, bits_p, open_p, qp, kp, vp)
 
-    out = out.reshape(b, h, npad, cp)[:, :, :n, :c]
-    return out
+    return out.reshape(b, h, npad, c)[:, :, :n, :]
+
+
+def _pad_labels(bits, open_, seq_pad, h):
+    n = bits.shape[1]
+    bits_p = jnp.repeat(jnp.pad(bits, ((0, 0), (0, seq_pad - n))), h, axis=0)
+    open_p = jnp.repeat(jnp.pad(open_, ((0, 0), (0, seq_pad - n))), h, axis=0)
+    return bits_p, open_p
 
 
 # ---------------------------------------------------------------------------
-# Backward pass (custom VJP) — unmasked self/cross attention for training.
+# Backward pass (custom VJP) for training.
 #
 # Standard flash backward: recompute scores blockwise using the saved
 # softmax statistics (m, l folded into `lse`), accumulate
@@ -258,105 +285,172 @@ def flash_attention(
 #   dp  = dout v^T
 #   ds  = p * (dp - delta)        with delta = rowsum(dout * out)
 #   dq += ds k * scale ;  dk += ds^T q * scale
+# The kernels work on SCALED q (qs = q * scale), so s = qs k^T directly,
+# dk = ds^T qs (the scale folds in for free), and dq needs one final
+# * scale on the (block_q, d) accumulator.
 # dq uses a q-block grid (inner loop over K); dk/dv use a k-block grid
 # (inner loop over Q) so every accumulation stays block-local in VMEM.
 # ---------------------------------------------------------------------------
 
 
-def _fwd_with_stats_kernel(
-    q_ref, k_ref, v_ref, out_ref, lse_ref, *, block_k, seq_k, scale, kv_len
-):
-    q = q_ref[0]
-    block_q, d = q.shape
-    num_kb = seq_k // block_k
-
-    def body(kb, carry):
-        acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        col = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        s = jnp.where(col < kv_len, s, NEG_INF)
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return acc, m_new, l_new
-
-    acc = jnp.zeros((block_q, q.shape[1]), jnp.float32)
-    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
-    out_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+def _fwd_with_stats(q, k, v, labels, block_q, block_k, interpret):
+    b, h, n, c = q.shape
+    m = k.shape[2]
+    scale = 1.0 / math.sqrt(c)
+    block_q, block_k = _pick_blocks(n, m, block_q, block_k)
+    qp, kp, vp, npad, mpad = _prep_qkv(q, k, v, block_q, block_k, scale)
+    grid = (b * h, npad // block_q)
+    qkv_specs = [
+        pl.BlockSpec((1, block_q, c), lambda bh, qb: (bh, qb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, mpad, c), lambda bh, qb: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, mpad, c), lambda bh, qb: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((1, block_q, c), lambda bh, qb: (bh, qb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda bh, qb: (bh, 0, qb),
+                     memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((b * h, npad, c), q.dtype),
+        jax.ShapeDtypeStruct((b * h, 1, npad), jnp.float32),
+    )
+    if labels is None:
+        out, lse = pl.pallas_call(
+            functools.partial(
+                _flash_kernel, block_k=block_k, seq_k=mpad, kv_len=m,
+                with_lse=True,
+            ),
+            grid=grid, in_specs=qkv_specs, out_specs=out_specs,
+            out_shape=out_shape, interpret=interpret,
+        )(qp, kp, vp)
+        lbl = None
+    else:
+        bits, open_ = labels
+        lbl_len = max(npad, mpad)
+        bits_p, open_p = _pad_labels(bits, open_, lbl_len, h)
+        lbl_spec = pl.BlockSpec((1, lbl_len), lambda bh, qb: (bh, 0),
+                                memory_space=pltpu.VMEM)
+        out, lse = pl.pallas_call(
+            functools.partial(
+                _flash_kernel_labeled, block_k=block_k, seq_k=mpad,
+                kv_len=m, block_q=block_q, with_lse=True,
+            ),
+            grid=grid, in_specs=[lbl_spec] * 4 + qkv_specs,
+            out_specs=out_specs, out_shape=out_shape, interpret=interpret,
+        )(bits_p, open_p, bits_p, open_p, qp, kp, vp)
+        lbl = (bits_p, open_p)
+    dims = (b, h, n, m, c, npad, mpad, block_q, block_k)
+    out_full = out.reshape(b, h, npad, c)[:, :, :n, :]
+    return out_full, (qp, kp, vp, out, lse, lbl, dims)
 
 
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     *, block_k, seq_k, scale, kv_len,
+    labeled=False, bits_q_ref=None, open_q_ref=None, bits_k_ref=None,
+    open_k_ref=None, block_q=None,
 ):
-    q = q_ref[0]
+    q = q_ref[0]  # already scaled
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0][:, None]
     delta = delta_ref[0, 0][:, None]
-    block_q, d = q.shape
+    bq_sz, d = q.shape
     num_kb = seq_k // block_k
+    if labeled:
+        qb = pl.program_id(1)
+        bq = bits_q_ref[0, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
+        oq = open_q_ref[0, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
+        row = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
 
-    def body(kb, dq):
+    dq = jnp.zeros((bq_sz, d), jnp.float32)
+    for kb in range(num_kb):
         k = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        col = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
         )
-        s = jnp.where(col < kv_len, s, NEG_INF)
+        keep = None
+        if labeled:
+            bk = bits_k_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
+            ok = open_k_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq_sz, block_k), 1
+            )
+            keep = (oq > 0) | (ok > 0) | ((bq & bk) != 0) | (row == col)
+            if (kb + 1) * block_k > kv_len:
+                keep = keep & (col < kv_len)
+        elif (kb + 1) * block_k > kv_len:
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq_sz, block_k), 1
+            )
+            keep = col < kv_len
+        if keep is not None:
+            s = jnp.where(keep, s, NEG_INF)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta) * scale
-        return dq + jax.lax.dot_general(
+        ds = p * (dp - delta)
+        dq = dq + jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-
-    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((block_q, d), jnp.float32))
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, block_q, seq_q, scale, kv_len, q_len,
+    *, block_q, seq_q, kv_len, q_len, block_k,
+    labeled=False, bits_q_ref=None, open_q_ref=None, bits_k_ref=None,
+    open_k_ref=None,
 ):
     k = k_ref[0]
     v = v_ref[0]
-    block_k, d = k.shape
+    bk_sz, d = k.shape
     kb = pl.program_id(1)
-    col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+    col = kb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+    # kb is the (traced) grid index here, so whether THIS block straddles
+    # kv_len can't be a python branch; apply the pad mask on every block
+    # when any k-padding exists at all (static)
+    mask_tail = kv_len % block_k != 0
+    if labeled:
+        bkl = bits_k_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
+        okl = open_k_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
     num_qb = seq_q // block_q
 
-    def body(qb, carry):
-        dk, dv = carry
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
+    dk = jnp.zeros((bk_sz, d), jnp.float32)
+    dv = jnp.zeros((bk_sz, d), jnp.float32)
+    for qb in range(num_qb):
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]  # scaled
         do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
         lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        s = jnp.where(col < kv_len, s, NEG_INF)
+        )
+        keep = None
+        if labeled:
+            bq = bits_q_ref[0, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
+            oq = open_q_ref[0, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
+            row = qb * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            keep = (oq > 0) | (okl > 0) | ((bq & bkl) != 0) | (row == col)
+            if mask_tail:
+                keep = keep & (col < kv_len)
+        elif mask_tail:
+            keep = col < kv_len
+        if keep is not None:
+            s = jnp.where(keep, s, NEG_INF)
         row = qb * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, 1), 0
         )
@@ -369,267 +463,64 @@ def _bwd_dkv_kernel(
             do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta) * scale
+        ds = p * (dp - delta)
+        # dk = ds^T (q*scale) — scale already folded into q
         dk = dk + jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return dk, dv
-
-    dk0 = jnp.zeros((block_k, d), jnp.float32)
-    dv0 = jnp.zeros((block_k, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _keep_predicate(bq, oq, bk, ok, row, col, kv_len):
-    """The shared instance-mask keep predicate (see module docstring)."""
-    return (
-        (oq > 0) | (ok > 0) | ((bq & bk) != 0) | (row == col)
-    ) & (col < kv_len)
-
-
-def _fwd_with_stats_labeled_kernel(
-    bits_q_ref, open_q_ref, bits_k_ref, open_k_ref,
-    q_ref, k_ref, v_ref, out_ref, lse_ref,
-    *, block_k, seq_k, scale, kv_len, block_q,
-):
-    qb = pl.program_id(1)
-    q = q_ref[0]
-    num_kb = seq_k // block_k
-    bq = bits_q_ref[0, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
-    oq = open_q_ref[0, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
-    row = qb * block_q + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 0
-    )
-
-    def body(kb, carry):
-        acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        bk = bits_k_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
-        ok = open_k_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
-        col = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        s = jnp.where(_keep_predicate(bq, oq, bk, ok, row, col, kv_len),
-                      s, NEG_INF)
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return acc, m_new, l_new
-
-    acc = jnp.zeros((block_q, q.shape[1]), jnp.float32)
-    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
-    out_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
-
-
-def _bwd_dq_labeled_kernel(
-    bits_q_ref, open_q_ref, bits_k_ref, open_k_ref,
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, block_k, seq_k, scale, kv_len, block_q,
-):
-    qb = pl.program_id(1)
-    q = q_ref[0]
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0][:, None]
-    delta = delta_ref[0, 0][:, None]
-    d = q.shape[1]
-    num_kb = seq_k // block_k
-    bq = bits_q_ref[0, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
-    oq = open_q_ref[0, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
-    row = qb * block_q + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 0
-    )
-
-    def body(kb, dq):
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        bk = bits_k_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
-        ok = open_k_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
-        col = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        s = jnp.where(_keep_predicate(bq, oq, bk, ok, row, col, kv_len),
-                      s, NEG_INF)
-        p = jnp.exp(s - lse)
-        dp = jax.lax.dot_general(
-            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - delta) * scale
-        return dq + jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((block_q, d), jnp.float32))
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-
-
-def _bwd_dkv_labeled_kernel(
-    bits_q_ref, open_q_ref, bits_k_ref, open_k_ref,
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, block_q, seq_q, scale, kv_len, q_len, block_k,
-):
-    k = k_ref[0]
-    v = v_ref[0]
-    d = k.shape[1]
-    kb = pl.program_id(1)
-    col = kb * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 1
-    )
-    bk = bits_k_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
-    ok = open_k_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
-    num_qb = seq_q // block_q
-
-    def body(qb, carry):
-        dk, dv = carry
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
-        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
-        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
-        bq = bits_q_ref[0, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
-        oq = open_q_ref[0, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        row = qb * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
-        )
-        s = jnp.where(_keep_predicate(bq, oq, bk, ok, row, col, kv_len),
-                      s, NEG_INF)
-        p = jnp.where(row < q_len, jnp.exp(s - lse), 0.0)
-        dv = dv + jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - delta) * scale
-        dk = dk + jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return dk, dv
-
-    dk0 = jnp.zeros((block_k, d), jnp.float32)
-    dv0 = jnp.zeros((block_k, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-
-
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5)
-)
-def flash_attention_trainable(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-    block_q: int = 512, block_k: int = 512, interpret: bool = False,
-) -> jnp.ndarray:
-    """Differentiable fused attention (B,H,N,C)x(B,H,M,C) — forward matches
-    flash_attention(labels=None); backward is the flash recomputation
-    (dq/dkv kernels above). For the training path (attn_impl='pallas')."""
-    out, _ = _flash_fwd(q, k, v, block_q, block_k, interpret)
-    return out
-
-
-def _flash_fwd(q, k, v, block_q, block_k, interpret):
-    b, h, n, c = q.shape
-    m = k.shape[2]
+def _flash_bwd(res, g, block_q, block_k, interpret):
+    qp, kp, vp, outp, lse, lbl, dims = res
+    b, h, n, m, c, npad, mpad, block_q, block_k = dims
     scale = 1.0 / math.sqrt(c)
-    cp = _ceil_to(c, 128)
-    npad = _ceil_to(n, block_q)
-    mpad = _ceil_to(m, block_k)
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, npad - n), (0, cp - c))).reshape(
-        b * h, npad, cp
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, npad - n), (0, 0))).reshape(
+        b * h, npad, c
     )
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, mpad - m), (0, cp - c))).reshape(
-        b * h, mpad, cp
-    )
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, mpad - m), (0, cp - c))).reshape(
-        b * h, mpad, cp
-    )
-    grid = (b * h, npad // block_q)
-    out, lse = pl.pallas_call(
-        functools.partial(
-            _fwd_with_stats_kernel, block_k=block_k, seq_k=mpad, scale=scale,
-            kv_len=m,
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, cp), lambda bh, qb: (bh, qb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mpad, cp), lambda bh, qb: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mpad, cp), lambda bh, qb: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, block_q, cp), lambda bh, qb: (bh, qb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda bh, qb: (bh, 0, qb),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b * h, npad, cp), q.dtype),
-            jax.ShapeDtypeStruct((b * h, 1, npad), jnp.float32),
-        ),
-        interpret=interpret,
-    )(qp, kp, vp)
-    out_full = out.reshape(b, h, npad, cp)[:, :, :n, :c]
-    return out_full, (qp, kp, vp, out, lse, (b, h, n, m, c, cp, npad, mpad))
-
-
-def _flash_fwd_rule(q, k, v, block_q, block_k, interpret):
-    out, res = _flash_fwd(q, k, v, block_q, block_k, interpret)
-    return out, res
-
-
-def _flash_bwd_rule(block_q, block_k, interpret, res, g):
-    qp, kp, vp, outp, lse, dims = res
-    b, h, n, m, c, cp, npad, mpad = dims
-    scale = 1.0 / math.sqrt(c)
-    gp = jnp.pad(
-        g, ((0, 0), (0, 0), (0, npad - n), (0, cp - c))
-    ).reshape(b * h, npad, cp)
-    # delta = rowsum(dout * out) (fp32)
     delta = jnp.sum(
         gp.astype(jnp.float32) * outp.astype(jnp.float32), axis=-1
     )[:, None, :]
 
+    labeled = lbl is not None
+    lbl_specs = []
+    lbl_args = []
+    if labeled:
+        bits_p, open_p = lbl
+        lbl_len = bits_p.shape[1]
+        lbl_spec = pl.BlockSpec((1, lbl_len), lambda bh, blk: (bh, 0),
+                                memory_space=pltpu.VMEM)
+        lbl_specs = [lbl_spec] * 4
+        lbl_args = [bits_p, open_p, bits_p, open_p]
+
+    def dq_kernel(*refs, **kw):
+        if labeled:
+            (bq, oq, bk, ok, q, k, v, do, lse_r, delta_r, dq_r) = refs
+            _bwd_dq_kernel(
+                q, k, v, do, lse_r, delta_r, dq_r, labeled=True,
+                bits_q_ref=bq, open_q_ref=oq, bits_k_ref=bk, open_k_ref=ok,
+                **kw,
+            )
+        else:
+            _bwd_dq_kernel(*refs, **kw)
+
     grid_q = (b * h, npad // block_q)
     dq = pl.pallas_call(
         functools.partial(
-            _bwd_dq_kernel, block_k=block_k, seq_k=mpad, scale=scale, kv_len=m
+            dq_kernel, block_k=block_k, seq_k=mpad, scale=scale, kv_len=m,
+            block_q=block_q,
         ),
         grid=grid_q,
-        in_specs=[
-            pl.BlockSpec((1, block_q, cp), lambda bh, qb: (bh, qb, 0),
+        in_specs=lbl_specs + [
+            pl.BlockSpec((1, block_q, c), lambda bh, qb: (bh, qb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mpad, cp), lambda bh, qb: (bh, 0, 0),
+            pl.BlockSpec((1, mpad, c), lambda bh, qb: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mpad, cp), lambda bh, qb: (bh, 0, 0),
+            pl.BlockSpec((1, mpad, c), lambda bh, qb: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, cp), lambda bh, qb: (bh, qb, 0),
+            pl.BlockSpec((1, block_q, c), lambda bh, qb: (bh, qb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q), lambda bh, qb: (bh, 0, qb),
                          memory_space=pltpu.VMEM),
@@ -637,28 +528,39 @@ def _flash_bwd_rule(block_q, block_k, interpret, res, g):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, cp), lambda bh, qb: (bh, qb, 0),
+            (1, block_q, c), lambda bh, qb: (bh, qb, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, npad, cp), qp.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, npad, c), qp.dtype),
         interpret=interpret,
-    )(qp, kp, vp, gp, lse, delta)
+    )(*lbl_args, qp, kp, vp, gp, lse, delta)
+
+    def dkv_kernel(*refs, **kw):
+        if labeled:
+            (bq, oq, bk, ok, q, k, v, do, lse_r, delta_r, dk_r, dv_r) = refs
+            _bwd_dkv_kernel(
+                q, k, v, do, lse_r, delta_r, dk_r, dv_r, labeled=True,
+                bits_q_ref=bq, open_q_ref=oq, bits_k_ref=bk, open_k_ref=ok,
+                **kw,
+            )
+        else:
+            _bwd_dkv_kernel(*refs, **kw)
 
     grid_k = (b * h, mpad // block_k)
     dk, dv = pl.pallas_call(
         functools.partial(
-            _bwd_dkv_kernel, block_q=block_q, seq_q=npad, scale=scale,
-            kv_len=m, q_len=n,
+            dkv_kernel, block_q=block_q, seq_q=npad, kv_len=m, q_len=n,
+            block_k=block_k,
         ),
         grid=grid_k,
-        in_specs=[
-            pl.BlockSpec((1, npad, cp), lambda bh, kb: (bh, 0, 0),
+        in_specs=lbl_specs + [
+            pl.BlockSpec((1, npad, c), lambda bh, kb: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, cp), lambda bh, kb: (bh, kb, 0),
+            pl.BlockSpec((1, block_k, c), lambda bh, kb: (bh, kb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, cp), lambda bh, kb: (bh, kb, 0),
+            pl.BlockSpec((1, block_k, c), lambda bh, kb: (bh, kb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, npad, cp), lambda bh, kb: (bh, 0, 0),
+            pl.BlockSpec((1, npad, c), lambda bh, kb: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, npad), lambda bh, kb: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -666,94 +568,44 @@ def _flash_bwd_rule(block_q, block_k, interpret, res, g):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_k, cp), lambda bh, kb: (bh, kb, 0),
+            pl.BlockSpec((1, block_k, c), lambda bh, kb: (bh, kb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, cp), lambda bh, kb: (bh, kb, 0),
+            pl.BlockSpec((1, block_k, c), lambda bh, kb: (bh, kb, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b * h, mpad, cp), kp.dtype),
-            jax.ShapeDtypeStruct((b * h, mpad, cp), vp.dtype),
+            jax.ShapeDtypeStruct((b * h, mpad, c), kp.dtype),
+            jax.ShapeDtypeStruct((b * h, mpad, c), vp.dtype),
         ),
         interpret=interpret,
-    )(qp, kp, vp, gp, lse, delta)
+    )(*lbl_args, qp, kp, vp, gp, lse, delta)
 
-    dq = dq.reshape(b, h, npad, cp)[:, :, :n, :c]
-    dk = dk.reshape(b, h, mpad, cp)[:, :, :m, :c]
-    dv = dv.reshape(b, h, mpad, cp)[:, :, :m, :c]
+    dq = dq.reshape(b, h, npad, c)[:, :, :n, :]
+    dk = dk.reshape(b, h, mpad, c)[:, :, :m, :]
+    dv = dv.reshape(b, h, mpad, c)[:, :, :m, :]
     return dq, dk, dv
 
 
-flash_attention_trainable.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention_trainable(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    block_q: int = 512, block_k: int = 512, interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused attention (B,H,N,C)x(B,H,M,C) — forward matches
+    flash_attention(labels=None); backward is the flash recomputation."""
+    out, _ = _fwd_with_stats(q, k, v, None, block_q, block_k, interpret)
+    return out
 
 
-# ---------------------------------------------------------------------------
-# Labeled (instance-masked) differentiable attention — the masked-attention
-# TRAINING path (use_masked_att). Forward matches flash_attention(labels=...);
-# backward applies the same in-kernel keep predicate during the flash
-# recomputation, so no (B,1,N,N) mask ever materializes.
-# ---------------------------------------------------------------------------
+def _fat_fwd(q, k, v, block_q, block_k, interpret):
+    return _fwd_with_stats(q, k, v, None, block_q, block_k, interpret)
 
 
-def _pad_labels(bits, open_, npad, h):
-    n = bits.shape[1]
-    bits_p = jnp.repeat(jnp.pad(bits, ((0, 0), (0, npad - n))), h, axis=0)
-    open_p = jnp.repeat(jnp.pad(open_, ((0, 0), (0, npad - n))), h, axis=0)
-    return bits_p, open_p
+def _fat_bwd(block_q, block_k, interpret, res, g):
+    return _flash_bwd(res, g, block_q, block_k, interpret)
 
 
-def _flash_fwd_labeled(q, k, v, bits, open_, block_q, block_k, interpret):
-    b, h, n, c = q.shape
-    m = k.shape[2]
-    assert n == m, "labels imply self-attention"
-    scale = 1.0 / math.sqrt(c)
-    cp = _ceil_to(c, 128)
-    npad = _ceil_to(n, block_q)
-    mpad = _ceil_to(m, block_k)
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, npad - n), (0, cp - c))).reshape(
-        b * h, npad, cp
-    )
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, mpad - m), (0, cp - c))).reshape(
-        b * h, mpad, cp
-    )
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, mpad - m), (0, cp - c))).reshape(
-        b * h, mpad, cp
-    )
-    bits_p, open_p = _pad_labels(bits, open_, max(npad, mpad), h)
-    grid = (b * h, npad // block_q)
-    lbl_spec = pl.BlockSpec((1, max(npad, mpad)), lambda bh, qb: (bh, 0),
-                            memory_space=pltpu.VMEM)
-    out, lse = pl.pallas_call(
-        functools.partial(
-            _fwd_with_stats_labeled_kernel, block_k=block_k, seq_k=mpad,
-            scale=scale, kv_len=m, block_q=block_q,
-        ),
-        grid=grid,
-        in_specs=[
-            lbl_spec, lbl_spec, lbl_spec, lbl_spec,
-            pl.BlockSpec((1, block_q, cp), lambda bh, qb: (bh, qb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mpad, cp), lambda bh, qb: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mpad, cp), lambda bh, qb: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, block_q, cp), lambda bh, qb: (bh, qb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda bh, qb: (bh, 0, qb),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b * h, npad, cp), q.dtype),
-            jax.ShapeDtypeStruct((b * h, 1, npad), jnp.float32),
-        ),
-        interpret=interpret,
-    )(bits_p, open_p, bits_p, open_p, qp, kp, vp)
-    out_full = out.reshape(b, h, npad, cp)[:, :, :n, :c]
-    res = (qp, kp, vp, out, lse, bits_p, open_p,
-           (b, h, n, m, c, cp, npad, mpad))
-    return out_full, res
+flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -762,107 +614,36 @@ def flash_attention_trainable_labeled(
     bits: jnp.ndarray, open_: jnp.ndarray,
     block_q: int = 512, block_k: int = 512, interpret: bool = False,
 ) -> jnp.ndarray:
-    out, _ = _flash_fwd_labeled(q, k, v, bits, open_, block_q, block_k,
-                                interpret)
+    """Instance-masked differentiable attention — the masked-attention
+    TRAINING path (use_masked_att). Labels index sequence positions over
+    the M k-tokens; the backward re-applies the in-kernel keep predicate,
+    so no (B,1,N,M) mask ever materializes."""
+    out, _ = _fwd_with_stats(
+        q, k, v, (bits, open_), block_q, block_k, interpret
+    )
     return out
 
 
-def _flash_fwd_labeled_rule(q, k, v, bits, open_, block_q, block_k, interpret):
-    return _flash_fwd_labeled(q, k, v, bits, open_, block_q, block_k, interpret)
+def _fatl_fwd(q, k, v, bits, open_, block_q, block_k, interpret):
+    return _fwd_with_stats(q, k, v, (bits, open_), block_q, block_k, interpret)
 
 
-def _flash_bwd_labeled_rule(block_q, block_k, interpret, res, g):
-    qp, kp, vp, outp, lse, bits_p, open_p, dims = res
-    b, h, n, m, c, cp, npad, mpad = dims
-    scale = 1.0 / math.sqrt(c)
-    gp = jnp.pad(
-        g, ((0, 0), (0, 0), (0, npad - n), (0, cp - c))
-    ).reshape(b * h, npad, cp)
-    delta = jnp.sum(
-        gp.astype(jnp.float32) * outp.astype(jnp.float32), axis=-1
-    )[:, None, :]
-    lbl_len = bits_p.shape[1]
-    lbl_spec = pl.BlockSpec((1, lbl_len), lambda bh, blk: (bh, 0),
-                            memory_space=pltpu.VMEM)
-
-    grid_q = (b * h, npad // block_q)
-    dq = pl.pallas_call(
-        functools.partial(
-            _bwd_dq_labeled_kernel, block_k=block_k, seq_k=mpad, scale=scale,
-            kv_len=m, block_q=block_q,
-        ),
-        grid=grid_q,
-        in_specs=[
-            lbl_spec, lbl_spec, lbl_spec, lbl_spec,
-            pl.BlockSpec((1, block_q, cp), lambda bh, qb: (bh, qb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mpad, cp), lambda bh, qb: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mpad, cp), lambda bh, qb: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, cp), lambda bh, qb: (bh, qb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda bh, qb: (bh, 0, qb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda bh, qb: (bh, 0, qb),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, cp), lambda bh, qb: (bh, qb, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, npad, cp), qp.dtype),
-        interpret=interpret,
-    )(bits_p, open_p, bits_p, open_p, qp, kp, vp, gp, lse, delta)
-
-    grid_k = (b * h, mpad // block_k)
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _bwd_dkv_labeled_kernel, block_q=block_q, seq_q=npad, scale=scale,
-            kv_len=m, q_len=n, block_k=block_k,
-        ),
-        grid=grid_k,
-        in_specs=[
-            lbl_spec, lbl_spec, lbl_spec, lbl_spec,
-            pl.BlockSpec((1, npad, cp), lambda bh, kb: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, cp), lambda bh, kb: (bh, kb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, cp), lambda bh, kb: (bh, kb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, npad, cp), lambda bh, kb: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, npad), lambda bh, kb: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, npad), lambda bh, kb: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, block_k, cp), lambda bh, kb: (bh, kb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, cp), lambda bh, kb: (bh, kb, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b * h, mpad, cp), kp.dtype),
-            jax.ShapeDtypeStruct((b * h, mpad, cp), vp.dtype),
-        ),
-        interpret=interpret,
-    )(bits_p, open_p, bits_p, open_p, qp, kp, vp, gp, lse, delta)
-
-    dq = dq.reshape(b, h, npad, cp)[:, :, :n, :c]
-    dk = dk.reshape(b, h, mpad, cp)[:, :, :m, :c]
-    dv = dv.reshape(b, h, mpad, cp)[:, :, :m, :c]
+def _fatl_bwd(block_q, block_k, interpret, res, g):
     import numpy as _np
 
+    dq, dk, dv = _flash_bwd(res, g, block_q, block_k, interpret)
+    b, h, n, m = res[6][0], res[6][1], res[6][2], res[6][3]
     # labels are integer inputs: their cotangent type is float0
-    f0 = _np.zeros((b, n), jax.dtypes.float0)
+    f0 = _np.zeros((b, m), jax.dtypes.float0)
     return dq, dk, dv, f0, f0
 
 
-flash_attention_trainable_labeled.defvjp(
-    _flash_fwd_labeled_rule, _flash_bwd_labeled_rule
-)
+flash_attention_trainable_labeled.defvjp(_fatl_fwd, _fatl_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Instance-mask labels
+# ---------------------------------------------------------------------------
 
 
 def instance_labels(

@@ -1,0 +1,165 @@
+"""Fused GroupNorm(+SiLU) Pallas kernel.
+
+The UNet runs ~40 GroupNorms per forward (every ResBlock has two, every
+spatial transformer one — openaimodel.py:237-257 via nn.GroupNorm32,
+util.py:223-225). Unfused, each costs XLA two reduction passes plus an
+elementwise normalize pass over HBM; this kernel does one read (fp32
+stats via MXU group-gather matmuls) and one read-modify-write
+(normalize + affine + optional SiLU), all VMEM-resident per batch row.
+
+Numerics match nn.group_norm's bf16 path exactly: statistics accumulate
+in fp32, the elementwise normalize/affine/SiLU stay in the input dtype.
+
+Differentiable: custom VJP whose backward is autodiff of the math-identical
+unfused formula (recomputed from the saved inputs — no extra residuals).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# one (N, C) batch row must fit VMEM ~3x over (in/out + fp32 temps)
+_MAX_VMEM_ELEMS = 2 * 1024 * 1024
+
+
+def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps, act,
+               block_n):
+    n, c = x_ref.shape[1], x_ref.shape[2]
+    g = num_groups
+    cg = c // g
+    nb = n // block_n
+
+    # chunked over rows: fp32 temporaries stay (block_n, C)-sized so the
+    # kernel's scoped VMEM fits even at (4096, 320) (full-array fp32 temps
+    # blew the 16M scoped-vmem limit)
+    s1 = jnp.zeros((1, c), jnp.float32)
+    s2 = jnp.zeros((1, c), jnp.float32)
+    for i in range(nb):
+        xc = x_ref[0, pl.ds(i * block_n, block_n), :].astype(jnp.float32)
+        s1 = s1 + jnp.sum(xc, axis=0, keepdims=True)
+        s2 = s2 + jnp.sum(xc * xc, axis=0, keepdims=True)
+
+    # channel->group gather as an MXU matmul against a 0/1 membership
+    # matrix built from iota (C x g is tiny; beats a lane-dim relayout)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0) // cg
+    grp = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
+    member = (ch == grp).astype(jnp.float32)           # (C, g)
+
+    cnt = float(n * cg)
+    gs1 = jax.lax.dot_general(
+        s1, member, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # (1, g)
+    gs2 = jax.lax.dot_general(
+        s2, member, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    mean_g = gs1 / cnt
+    var_g = gs2 / cnt - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+
+    # scatter back per channel: (1, g) @ (g, C)
+    mean_c = jax.lax.dot_general(
+        mean_g, member, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    inv_c = jax.lax.dot_general(
+        inv_g, member, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # elementwise math stays fp32 (Mosaic dislikes f32->bf16 broadcasts,
+    # and fp32 here is free: the pass is HBM-bound, VMEM-local), chunked
+    # like the stats pass to bound scoped VMEM
+    sc = scale_ref[0].astype(jnp.float32)
+    bi = bias_ref[0].astype(jnp.float32)
+    for i in range(nb):
+        xc = x_ref[0, pl.ds(i * block_n, block_n), :].astype(jnp.float32)
+        y = (xc - mean_c) * inv_c * sc + bi
+        if act == "silu":
+            y = y * jax.nn.sigmoid(y)
+        o_ref[0, pl.ds(i * block_n, block_n), :] = y.astype(o_ref.dtype)
+
+
+def _unfused(x, scale, bias, num_groups, eps, act):
+    """Reference formula (identical math to nn.group_norm's bf16 path);
+    used for the backward pass and for the CPU/fp32 fallback."""
+    dt = x.dtype
+    b, n, c = x.shape
+    g = num_groups
+    xg = x.reshape(b, n, g, c // g)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+    mean2 = jnp.mean(
+        jnp.square(xg.astype(jnp.float32)), axis=(1, 3), keepdims=True
+    )
+    inv = jax.lax.rsqrt(mean2 - jnp.square(mean) + eps)
+    y = (xg - mean.astype(dt)) * inv.astype(dt)
+    y = y.reshape(b, n, c) * scale.astype(dt) + bias.astype(dt)
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    return y
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+)
+def fused_group_norm(
+    x: jnp.ndarray,        # (B, N, C)
+    scale: jnp.ndarray,    # (C,)
+    bias: jnp.ndarray,     # (C,)
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    act: str = "none",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, n, c = x.shape
+    block_n = n if n <= 512 else 512
+    return pl.pallas_call(
+        functools.partial(
+            _gn_kernel, num_groups=num_groups, eps=eps, act=act,
+            block_n=block_n,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        interpret=interpret,
+    )(x, scale.reshape(1, c), bias.reshape(1, c))
+
+
+def _fgn_fwd(x, scale, bias, num_groups, eps, act, interpret):
+    out = fused_group_norm(x, scale, bias, num_groups, eps, act, interpret)
+    return out, (x, scale, bias)
+
+
+def _fgn_bwd(num_groups, eps, act, interpret, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda xx, ss, bb: _unfused(xx, ss, bb, num_groups, eps, act),
+        x, scale, bias,
+    )
+    return vjp(g)
+
+
+fused_group_norm.defvjp(_fgn_fwd, _fgn_bwd)
+
+
+def group_norm_fits(n: int, c: int, num_groups: int) -> bool:
+    return (
+        c % num_groups == 0
+        and n * c <= _MAX_VMEM_ELEMS
+        and (n <= 512 or n % 512 == 0)
+    )

@@ -118,10 +118,10 @@ def _init_res_block(key, in_ch, out_ch, emb_ch) -> Params:
 def _apply_res_block(p: Params, x, emb):
     """openaimodel.py:237-257 (no scale_shift_norm, no up/down variant —
     SD1.5 uses neither)."""
-    h = nn.conv2d(p["in_conv"], nn.silu(nn.group_norm(p["in_norm"], x)), padding=1)
+    h = nn.conv2d(p["in_conv"], nn.group_norm(p["in_norm"], x, act="silu"), padding=1)
     emb_out = nn.linear(p["emb_lin"], nn.silu(emb)).astype(h.dtype)
     h = h + emb_out[:, None, None, :]
-    h = nn.conv2d(p["out_conv"], nn.silu(nn.group_norm(p["out_norm"], h)), padding=1)
+    h = nn.conv2d(p["out_conv"], nn.group_norm(p["out_norm"], h, act="silu"), padding=1)
     skip = nn.conv2d(p["skip_conv"], x, padding=0) if "skip_conv" in p else x
     return skip + h
 
@@ -186,11 +186,18 @@ def _apply_fuser(p, x, objs, num_heads, gate_scale, fuser_mask, impl):
     mask, labels = (
         (None, fuser_mask) if isinstance(fuser_mask, tuple) else (fuser_mask, None)
     )
+    if mask is not None:
+        mask = mask[:, :, :n_visual, :]
+    # query only the visual rows: the reference computes the grounding-token
+    # rows too and then discards them (attention.py:309 `[:, 0:N]`) — ~4%
+    # of the fuser's attention FLOPs for nothing, and it keeps N at an
+    # exact q-block multiple
     attn_out = _apply_mha(
-        p["attn"], cat, cat, num_heads, mask=mask, labels=labels, impl=impl
+        p["attn"], cat[:, :n_visual], cat, num_heads, mask=mask,
+        labels=labels, impl=impl,
     )
     g1 = (gate_scale * jnp.tanh(p["alpha_attn"])).astype(x.dtype)
-    x = x + g1 * attn_out[:, :n_visual, :]
+    x = x + g1 * attn_out
     g2 = (gate_scale * jnp.tanh(p["alpha_dense"])).astype(x.dtype)
     x = x + g2 * _apply_ff_geglu(p["ff"], nn.layer_norm(p["norm2"], x))
     return x
@@ -548,5 +555,5 @@ def apply_unet(
         for spec, p in zip(specs, ps):
             h = run_layer(spec, p, h)
 
-    h = nn.silu(nn.group_norm(params["out"]["norm"], h))
+    h = nn.group_norm(params["out"]["norm"], h, act="silu")
     return nn.conv2d(params["out"]["conv"], h, padding=1)

@@ -39,8 +39,8 @@ def _init_res(key, in_ch, out_ch) -> Params:
 
 
 def _apply_res(p, x):
-    h = nn.conv2d(p["conv1"], nn.silu(nn.group_norm(p["norm1"], x, eps=1e-6)), padding=1)
-    h = nn.conv2d(p["conv2"], nn.silu(nn.group_norm(p["norm2"], h, eps=1e-6)), padding=1)
+    h = nn.conv2d(p["conv1"], nn.group_norm(p["norm1"], x, eps=1e-6, act="silu"), padding=1)
+    h = nn.conv2d(p["conv2"], nn.group_norm(p["norm2"], h, eps=1e-6, act="silu"), padding=1)
     if "nin_shortcut" in p:
         x = nn.conv2d(p["nin_shortcut"], x, padding=0)
     return x + h
@@ -120,7 +120,7 @@ def apply_encoder(p: Params, cfg: VAEConfig, x: jnp.ndarray) -> jnp.ndarray:
     h = _apply_res(p["mid"]["block_1"], h)
     h = _apply_attn(p["mid"]["attn_1"], h)
     h = _apply_res(p["mid"]["block_2"], h)
-    h = nn.silu(nn.group_norm(p["norm_out"], h, eps=1e-6))
+    h = nn.group_norm(p["norm_out"], h, eps=1e-6, act="silu")
     return nn.conv2d(p["conv_out"], h, padding=1)
 
 
@@ -161,7 +161,7 @@ def apply_decoder(p: Params, cfg: VAEConfig, z: jnp.ndarray) -> jnp.ndarray:
             h = _apply_res(blk, h)
         if "upsample" in level:
             h = nn.conv2d(level["upsample"], nn.upsample_nearest_2x(h), padding=1)
-    h = nn.silu(nn.group_norm(p["norm_out"], h, eps=1e-6))
+    h = nn.group_norm(p["norm_out"], h, eps=1e-6, act="silu")
     return nn.conv2d(p["conv_out"], h, padding=1)
 
 

@@ -123,27 +123,44 @@ def init_norm(num_channels: int) -> Params:
 
 
 def group_norm(
-    p: Params, x: jnp.ndarray, num_groups: int = 32, eps: float = 1e-5
+    p: Params, x: jnp.ndarray, num_groups: int = 32, eps: float = 1e-5,
+    act: str = "none",
 ) -> jnp.ndarray:
-    """GroupNorm over the last (channel) axis of an NHWC / (B,N,C) tensor.
+    """GroupNorm over the last (channel) axis of an NHWC / (B,N,C) tensor,
+    with an optionally fused trailing activation (`act="silu"`).
 
     fp32 statistics regardless of input dtype (GroupNorm32 semantics,
     util.py:223-225). fp32 inputs normalize fully in fp32 (bit-parity with
     the reference); bf16 inputs accumulate stats in fp32 but keep the
     elementwise normalize in bf16, avoiding two full fp32 HBM round-trips
-    per norm (~6% of UNet forward time)."""
+    per norm (~6% of UNet forward time). On TPU the bf16 path runs the
+    fused Pallas kernel (kernels/group_norm.py): one stats read + one
+    normalize(+silu) read-modify-write instead of 3+ HBM passes."""
     orig_dtype = x.dtype
     c = x.shape[-1]
     spatial = x.shape[1:-1]
     b = x.shape[0]
     g = num_groups
+    # platform != "cpu" == the real chip (shows as "tpu" or "axon")
+    if orig_dtype == jnp.bfloat16 and jax.devices()[0].platform != "cpu":
+        from instancediffusion_tpu.kernels.group_norm import (
+            fused_group_norm, group_norm_fits,
+        )
+
+        n = int(np.prod(spatial)) if spatial else 1
+        if group_norm_fits(n, c, g):
+            out = fused_group_norm(
+                x.reshape(b, n, c), p["scale"], p["bias"], g, eps, act
+            )
+            return out.reshape(b, *spatial, c)
     if orig_dtype == jnp.float32:
         xg = x.reshape(b, -1, g, c // g)
         mean = xg.mean(axis=(1, 3), keepdims=True)
         var = xg.var(axis=(1, 3), keepdims=True)
         xg = (xg - mean) * jax.lax.rsqrt(var + eps)
         out = xg.reshape(b, *spatial, c)
-        return out * p["scale"] + p["bias"]
+        out = out * p["scale"] + p["bias"]
+        return silu(out) if act == "silu" else out
     xg = x.reshape(b, -1, g, c // g)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
     mean2 = jnp.mean(
@@ -154,7 +171,8 @@ def group_norm(
     # the fp32 path; stats above are exact fp32)
     out = (xg - mean.astype(orig_dtype)) * inv.astype(orig_dtype)
     out = out.reshape(b, *spatial, c)
-    return out * p["scale"].astype(orig_dtype) + p["bias"].astype(orig_dtype)
+    out = out * p["scale"].astype(orig_dtype) + p["bias"].astype(orig_dtype)
+    return silu(out) if act == "silu" else out
 
 
 def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:

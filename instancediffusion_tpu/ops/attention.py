@@ -107,6 +107,7 @@ def multi_head_attention(
             out = flash_attention_trainable(qh, kh, vh)
     else:
         if labels is not None and mask is None:
-            mask = labels_to_dense(*labels)
+            # labels index k-sequence positions; q covers the first n
+            mask = labels_to_dense(*labels)[:, :, :n, :]
         out = sdpa_xla(qh, kh, vh, mask=mask)
     return _merge_heads(out)
