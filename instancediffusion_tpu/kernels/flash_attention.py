@@ -55,6 +55,13 @@ from jax.experimental.pallas import tpu as pltpu
 GROUNDING_BIT = 1 << 30
 NEG_INF = -1e9
 
+# the packed kernels keep whole-sequence k/v blocks resident plus a
+# partially-unrolled softmax pipeline; the default 16M scoped-vmem budget
+# is ~1M short inside the full model graph (fine standalone). 32M of the
+# chip's 128M VMEM leaves room for the surrounding model buffers (64M
+# starved them: "Used 128.05M of 128.00M").
+_PACKED_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
 
 def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -167,14 +174,16 @@ def _flash_kernel_labeled(
 
 
 def _prep_qkv(q, k, v, block_q, block_k, scale):
-    """(B,H,N,C) -> padded (B*H, npad, C) with scale folded into q.
+    """(B,H,N,C) -> padded (B*H, npad, C) with scale folded into q
+    (scale=None: caller already folded it, e.g. into the to_q weight).
     Head dim is NOT padded (Mosaic handles minor dims equal to the full
     array dim); only sequence axes pad to block multiples."""
     b, h, n, c = q.shape
     m = k.shape[2]
     npad = _ceil_to(n, block_q)
     mpad = _ceil_to(m, block_k)
-    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    if scale is not None:
+        q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, npad - n), (0, 0))).reshape(
         b * h, npad, c
     )
@@ -188,7 +197,7 @@ def _prep_qkv(q, k, v, block_q, block_k, scale):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+    jax.jit, static_argnames=("block_q", "block_k", "interpret", "pre_scaled")
 )
 def flash_attention(
     q: jnp.ndarray,   # (B, H, N, C)
@@ -199,6 +208,7 @@ def flash_attention(
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
+    pre_scaled: bool = False,
 ) -> jnp.ndarray:
     """Fused attention. For instance masking pass `labels` (indexed by
     SEQUENCE position over the M k-tokens; q covers the first N positions);
@@ -210,7 +220,7 @@ def flash_attention(
 
     b, h, n, c = q.shape
     m = k.shape[2]
-    scale = 1.0 / math.sqrt(c)
+    scale = None if pre_scaled else 1.0 / math.sqrt(c)
     block_q, block_k = _pick_blocks(n, m, block_q, block_k)
     qp, kp, vp, npad, mpad = _prep_qkv(q, k, v, block_q, block_k, scale)
     grid = (b * h, npad // block_q)
@@ -274,6 +284,218 @@ def _pad_labels(bits, open_, seq_pad, h):
     bits_p = jnp.repeat(jnp.pad(bits, ((0, 0), (0, seq_pad - n))), h, axis=0)
     open_p = jnp.repeat(jnp.pad(open_, ((0, 0), (0, seq_pad - n))), h, axis=0)
     return bits_p, open_p
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout forward: q/k/v stay (B, N, H*c) — the projection's natural
+# output — and heads are sliced INSIDE the kernel. Avoids the XLA head-split
+# transpose whose (…, c=40)-minor physical retiling cost ~38 ms/fwd of
+# bitcast-copies around every pallas call (docs/traces/r2b). The grid is
+# (batch, q-blocks); k/v for the whole sequence live once in VMEM per batch
+# row and all H heads reuse them.
+# ---------------------------------------------------------------------------
+
+
+def _packed_head_pass(
+    q, k_ref, v_ref, h, c, block_k, kv_len, tail_keep, keeps=None,
+    unroll: int = 4,
+):
+    """Online-softmax over the k sequence for ONE head of the packed
+    layout. Full k-blocks run under a fori_loop (bounded Mosaic stack —
+    a fully unrolled heads x kblocks body blew the 16M scoped-vmem
+    limit), the straddling tail block is peeled off statically so full
+    blocks skip masking entirely. `keeps`: optional (num_kb, bq, bk)
+    stacked keep-masks (instance labels), dynamically indexed."""
+    block_q = q.shape[0]
+    num_full = kv_len // block_k
+    has_tail = kv_len % block_k != 0
+
+    acc = jnp.zeros((block_q, c), jnp.float32)
+    m_prev = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l_prev = jnp.zeros((block_q, 1), jnp.float32)
+
+    def step(kb, carry):
+        k = k_ref[0, pl.ds(kb * block_k, block_k), h * c:(h + 1) * c]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), h * c:(h + 1) * c]
+        mask = None
+        if keeps is not None:
+            mask = jax.lax.dynamic_index_in_dim(keeps, kb, 0, False)
+        return _softmax_step(q, k, v, mask, carry)
+
+    # manual partial unroll (Mosaic's fori lowering only does 1 or full;
+    # a full heads x kblocks unroll needs a ~50M scoped stack, which
+    # starves the rest of the model's VMEM — and measures no faster)
+    uf = unroll if num_full % unroll == 0 else (2 if num_full % 2 == 0 else 1)
+
+    def body(i, carry):
+        for j in range(uf):
+            carry = step(i * uf + j, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(
+        0, num_full // uf, body, (acc, m_prev, l_prev)
+    )
+    if has_tail:
+        kb = num_full
+        k = k_ref[0, pl.ds(kb * block_k, block_k), h * c:(h + 1) * c]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), h * c:(h + 1) * c]
+        mask = tail_keep
+        carry = _softmax_step(q, k, v, mask, carry)
+    return carry
+
+
+def _flash_kernel_packed(
+    q_ref, k_ref, v_ref, out_ref, lse_ref=None, *,
+    num_heads: int, block_k: int, seq_k: int, kv_len: int,
+    with_lse: bool = False,
+):
+    qa = q_ref[0]            # (block_q, H*c), scale pre-folded
+    block_q, hc = qa.shape
+    c = hc // num_heads
+
+    if kv_len % block_k != 0:
+        col = (kv_len // block_k) * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        tail_keep = col < kv_len
+    else:
+        tail_keep = None
+
+    outs = []
+    for h in range(num_heads):
+        q = qa[:, h * c:(h + 1) * c]
+        acc, m, l = _packed_head_pass(
+            q, k_ref, v_ref, h, c, block_k, kv_len, tail_keep
+        )
+        outs.append((acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype))
+        if with_lse:
+            lse_ref[0, h] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+    out_ref[0] = jnp.concatenate(outs, axis=1)
+
+
+def _flash_kernel_packed_labeled(
+    bits_ref, open_ref, q_ref, k_ref, v_ref, out_ref, lse_ref=None, *,
+    num_heads: int, block_k: int, seq_k: int, kv_len: int, block_q: int,
+    with_lse: bool = False,
+):
+    """Packed layout + in-kernel instance-mask predicate. Labels are
+    (1, seq) int32 rows shared by every head (they index SEQUENCE
+    positions, so no per-head replication is needed). Keep-masks are
+    head-independent: built once per k-block (static 128-aligned label
+    slices), stacked, and dynamically indexed inside each head's loop."""
+    qb = pl.program_id(1)
+    qa = q_ref[0]
+    _, hc = qa.shape
+    c = hc // num_heads
+    num_full = kv_len // block_k
+    has_tail = kv_len % block_k != 0
+
+    bq = bits_ref[0, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
+    oq = open_ref[0, pl.ds(qb * block_q, block_q)].reshape(block_q, 1)
+    row = qb * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0
+    )
+
+    def block_keep(kb):
+        bk = bits_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
+        ok = open_ref[0, pl.ds(kb * block_k, block_k)].reshape(1, block_k)
+        col = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        keep = (oq > 0) | (ok > 0) | ((bq & bk) != 0) | (row == col)
+        if (kb + 1) * block_k > kv_len:
+            keep = keep & (col < kv_len)
+        return keep
+
+    keeps = jnp.stack([block_keep(kb) for kb in range(num_full)])
+    tail_keep = block_keep(num_full) if has_tail else None
+
+    outs = []
+    for h in range(num_heads):
+        q = qa[:, h * c:(h + 1) * c]
+        acc, m, l = _packed_head_pass(
+            q, k_ref, v_ref, h, c, block_k, kv_len, tail_keep, keeps=keeps
+        )
+        outs.append((acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype))
+        if with_lse:
+            lse_ref[0, h] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+    out_ref[0] = jnp.concatenate(outs, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "block_q", "block_k", "interpret",
+                     "pre_scaled"),
+)
+def flash_attention_packed(
+    q: jnp.ndarray,   # (B, N, H*c)
+    k: jnp.ndarray,   # (B, M, H*c)
+    v: jnp.ndarray,   # (B, M, H*c)
+    num_heads: int = 8,
+    labels: tuple | None = None,   # (bits (B,M), open (B,M)) int32
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+    pre_scaled: bool = False,
+) -> jnp.ndarray:
+    """Fused multi-head attention on projection-layout tensors: heads are
+    split in-kernel, so no (B,H,N,c) array — and none of its physical
+    retiling — ever exists. `pre_scaled`: the caller already folded
+    1/sqrt(c) into q (e.g. into the to_q weight — saves a whole-q pass)."""
+    b, n, hc = q.shape
+    m = k.shape[1]
+    c = hc // num_heads
+    scale = 1.0 / math.sqrt(c)
+    block_q, block_k = _pick_blocks(n, m, block_q, block_k)
+    npad = _ceil_to(n, block_q)
+    mpad = _ceil_to(m, block_k)
+    qp = q if pre_scaled else (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qp = jnp.pad(qp, ((0, 0), (0, npad - n), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, mpad - m), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, mpad - m), (0, 0)))
+    grid = (b, npad // block_q)
+
+    qkv_specs = [
+        pl.BlockSpec((1, block_q, hc), lambda bi, qb: (bi, qb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, mpad, hc), lambda bi, qb: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, mpad, hc), lambda bi, qb: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((1, block_q, hc), lambda bi, qb: (bi, qb, 0),
+                            memory_space=pltpu.VMEM)
+    if labels is None:
+        out = pl.pallas_call(
+            functools.partial(
+                _flash_kernel_packed, num_heads=num_heads,
+                block_k=block_k, seq_k=mpad, kv_len=m,
+            ),
+            grid=grid, in_specs=qkv_specs, out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, npad, hc), q.dtype),
+            compiler_params=_PACKED_PARAMS,
+            interpret=interpret,
+        )(qp, kp, vp)
+    else:
+        bits, open_ = labels
+        assert bits.shape[1] == m, "labels must cover the k sequence"
+        lbl_len = max(npad, mpad)
+        bits_p = jnp.pad(bits, ((0, 0), (0, lbl_len - m)))
+        open_p = jnp.pad(open_, ((0, 0), (0, lbl_len - m)))
+        lbl_spec = pl.BlockSpec((1, lbl_len), lambda bi, qb: (bi, 0),
+                                memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(
+                _flash_kernel_packed_labeled, num_heads=num_heads,
+                block_k=block_k, seq_k=mpad, kv_len=m, block_q=block_q,
+            ),
+            grid=grid, in_specs=[lbl_spec, lbl_spec] + qkv_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, npad, hc), q.dtype),
+            compiler_params=_PACKED_PARAMS,
+            interpret=interpret,
+        )(bits_p, open_p, qp, kp, vp)
+    return out[:, :n, :]
 
 
 # ---------------------------------------------------------------------------

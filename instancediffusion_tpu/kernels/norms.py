@@ -163,3 +163,76 @@ def group_norm_fits(n: int, c: int, num_groups: int) -> bool:
         and n * c <= _MAX_VMEM_ELEMS
         and (n <= 512 or n % 512 == 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused LayerNorm — per-row stats over the channel (lane) axis. The
+# transformer blocks run ~20 LayerNorms per forward (attention.py norm1/2/3
+# + fuser norms); unfused they cost XLA a convert pass, two reduces, and an
+# elementwise pass (~10% of UNet forward). Math matches nn.layer_norm
+# exactly: everything in fp32, cast back on store.
+# ---------------------------------------------------------------------------
+
+
+def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps):
+    xf = x_ref[0].astype(jnp.float32)                  # (block_n, C)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True) - mean * mean
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _ln_unfused(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (xf * scale + bias).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_layer_norm(
+    x: jnp.ndarray,        # (B, N, C)
+    scale: jnp.ndarray,    # (C,)
+    bias: jnp.ndarray,     # (C,)
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, n, c = x.shape
+    block_n = n if n <= 512 else 512
+    return pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        grid=(b, n // block_n),
+        in_specs=[
+            pl.BlockSpec((1, block_n, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_n, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        interpret=interpret,
+    )(x, scale.reshape(1, c), bias.reshape(1, c))
+
+
+def _fln_fwd(x, scale, bias, eps, interpret):
+    return fused_layer_norm(x, scale, bias, eps, interpret), (x, scale, bias)
+
+
+def _fln_bwd(eps, interpret, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda xx, ss, bb: _ln_unfused(xx, ss, bb, eps), x, scale, bias
+    )
+    return vjp(g)
+
+
+fused_layer_norm.defvjp(_fln_fwd, _fln_bwd)
+
+
+def layer_norm_fits(n: int, c: int) -> bool:
+    return (n <= 512 or n % 512 == 0) and c <= 4096

@@ -137,11 +137,20 @@ def _init_mha(key, query_dim, kv_dim, inner_dim) -> Params:
 
 
 def _apply_mha(p: Params, x, kv, num_heads, mask=None, labels=None, impl="xla"):
-    q = nn.linear(p["to_q"], x)
+    pre_scaled = impl == "pallas"
+    if pre_scaled:
+        # fold 1/sqrt(c) into the (bias-free) to_q weight: saves the
+        # kernels a whole-q scaling pass. Inference only — the training
+        # kernels' VJP algebra assumes unscaled q (ops/attention.py).
+        c = p["to_q"]["w"].shape[1] // num_heads
+        q = nn.linear({"w": p["to_q"]["w"] * (c ** -0.5)}, x)
+    else:
+        q = nn.linear(p["to_q"], x)
     k = nn.linear(p["to_k"], kv)
     v = nn.linear(p["to_v"], kv)
     out = multi_head_attention(
-        q, k, v, num_heads, mask=mask, labels=labels, impl=impl
+        q, k, v, num_heads, mask=mask, labels=labels, impl=impl,
+        pre_scaled=pre_scaled,
     )
     return nn.linear(p["to_out"], out)
 
@@ -156,6 +165,20 @@ def _init_ff_geglu(key, dim, mult=4) -> Params:
 
 
 def _apply_ff_geglu(p: Params, x):
+    if x.dtype == jnp.bfloat16 and jax.devices()[0].platform != "cpu":
+        from instancediffusion_tpu.kernels.geglu_ff import (
+            ff_fits, fused_ff_geglu,
+        )
+
+        n, c = x.shape[1], x.shape[2]
+        inner = p["out"]["w"].shape[0]
+        if ff_fits(n, c, inner):
+            # single-kernel FF: the (N, 2*inner) projection never leaves
+            # VMEM (kernels/geglu_ff.py)
+            return fused_ff_geglu(
+                x, p["proj"]["w"], p["proj"]["b"],
+                p["out"]["w"], p["out"]["b"],
+            )
     h = nn.linear(p["proj"], x)
     a, gate = jnp.split(h, 2, axis=-1)
     return nn.linear(p["out"], a * nn.gelu(gate))

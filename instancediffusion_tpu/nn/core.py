@@ -143,7 +143,7 @@ def group_norm(
     g = num_groups
     # platform != "cpu" == the real chip (shows as "tpu" or "axon")
     if orig_dtype == jnp.bfloat16 and jax.devices()[0].platform != "cpu":
-        from instancediffusion_tpu.kernels.group_norm import (
+        from instancediffusion_tpu.kernels.norms import (
             fused_group_norm, group_norm_fits,
         )
 
@@ -176,6 +176,22 @@ def group_norm(
 
 
 def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm over the channel axis, fp32 math (torch nn.LayerNorm
+    semantics). bf16 on TPU runs the fused Pallas kernel
+    (kernels/norms.py) — identical fp32 math, one read + one write."""
+    if x.dtype == jnp.bfloat16 and jax.devices()[0].platform != "cpu":
+        from instancediffusion_tpu.kernels.norms import (
+            fused_layer_norm, layer_norm_fits,
+        )
+
+        c = x.shape[-1]
+        lead = x.shape[:-1]
+        n = int(np.prod(lead[1:])) if len(lead) > 1 else 1
+        if layer_norm_fits(n, c):
+            out = fused_layer_norm(
+                x.reshape(lead[0], n, c), p["scale"], p["bias"], eps
+            )
+            return out.reshape(*lead, c)
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     mean = xf.mean(axis=-1, keepdims=True)

@@ -39,14 +39,16 @@ def sdpa_xla(
     k: jnp.ndarray,
     v: jnp.ndarray,
     mask: jnp.ndarray | None = None,
+    pre_scaled: bool = False,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over (B,H,N,C) tensors.
 
     mask: optional boolean (B,1,N,M) keep-mask (True = attend). Scores are
     computed in fp32 for softmax stability (matches AMP fp32 softmax).
+    pre_scaled: 1/sqrt(c) was already folded into q by the caller.
     """
     c = q.shape[-1]
-    scale = c ** -0.5
+    scale = 1.0 if pre_scaled else c ** -0.5
     sim = jnp.einsum(
         "bhnc,bhmc->bhnm", q, k, preferred_element_type=jnp.float32
     ) * scale
@@ -78,24 +80,46 @@ def multi_head_attention(
     mask: jnp.ndarray | None = None,
     labels: tuple | None = None,
     impl: str = "xla",
+    pre_scaled: bool = False,
 ) -> jnp.ndarray:
     """(B,N,H*C) x (B,M,H*C) -> (B,N,H*C) attention with optional keep-mask
     (dense `mask` or per-token instance `labels` — see
-    kernels/flash_attention for the encoding)."""
-    qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
+    kernels/flash_attention for the encoding). pre_scaled: the caller
+    folded 1/sqrt(c) into q (e.g. into the to_q weight)."""
     n, m = q.shape[1], k.shape[1]
     # the fused kernel only pays off on long sequences; short ones (low-res
     # UNet levels, 77-token cross-attention) are faster through XLA and the
     # kernel's block padding would dominate
     big = (n >= 1024 and m >= 512) or labels is not None
+    head_c = q.shape[2] // num_heads
+    if impl == "pallas" and big and mask is None and head_c >= 64:
+        # packed layout: heads split in-kernel, so the (B,H,N,c) arrays —
+        # and XLA's copies materializing them — never exist. Measured
+        # faster than split-heads from head_c >= 64 (ds2+); at ds1's
+        # head_c=40 the in-kernel lane-slice relayouts cost more than
+        # XLA's (parallelizable) head-split copies, so that stays split.
+        from instancediffusion_tpu.kernels.flash_attention import (
+            flash_attention_packed,
+        )
+
+        return flash_attention_packed(
+            q, k, v, num_heads, labels=labels, pre_scaled=pre_scaled
+        )
+    qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
     if impl == "pallas" and big:
         from instancediffusion_tpu.kernels.flash_attention import flash_attention
 
-        out = flash_attention(qh, kh, vh, mask=mask, labels=labels)
+        out = flash_attention(
+            qh, kh, vh, mask=mask, labels=labels, pre_scaled=pre_scaled
+        )
     elif impl == "pallas_train" and big:
         # differentiable fused kernels (custom VJP); labels route to the
         # labeled variant whose backward re-applies the in-kernel keep
         # predicate (masked-attention TRAINING, use_masked_att)
+        assert not pre_scaled, (
+            "fold the scale only on the inference path: the training "
+            "kernels' VJP computes dq = ds*k*scale from UNscaled q"
+        )
         from instancediffusion_tpu.kernels.flash_attention import (
             flash_attention_trainable, flash_attention_trainable_labeled,
         )
@@ -109,5 +133,5 @@ def multi_head_attention(
         if labels is not None and mask is None:
             # labels index k-sequence positions; q covers the first n
             mask = labels_to_dense(*labels)[:, :, :n, :]
-        out = sdpa_xla(qh, kh, vh, mask=mask)
+        out = sdpa_xla(qh, kh, vh, mask=mask, pre_scaled=pre_scaled)
     return _merge_heads(out)

@@ -68,3 +68,52 @@ def test_flash_labeled_null_sample_unmasked():
     )
     ref = sdpa_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def _pack(x):
+    # (B,H,N,c) -> (B,N,H*c)
+    b, h, n, c = x.shape
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, n, h * c)
+
+
+@pytest.mark.parametrize("n,m,c,h", [(256, 256, 40, 3), (300, 128, 32, 2)])
+def test_flash_packed_matches_xla(n, m, c, h):
+    from instancediffusion_tpu.kernels.flash_attention import (
+        flash_attention_packed,
+    )
+
+    rng = np.random.default_rng(3)
+    q, k, v = _qkv(rng, 2, h, n, m, c)
+    ref = _pack(sdpa_xla(q, k, v))
+    out = flash_attention_packed(
+        _pack(q), _pack(k), _pack(v), h, block_q=128, block_k=128,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_packed_labeled_matches_masked_xla():
+    from instancediffusion_tpu.kernels.flash_attention import (
+        flash_attention_packed,
+    )
+
+    s, n_objs, seg = 8, 3, 4
+    ntot = s * s + 4 * n_objs + seg  # 80
+    att = np.zeros((2, n_objs, s, s), np.float32)
+    att[0, 0, 1:4, 2:6] = 1
+    att[0, 1, 3:7, 0:3] = 1
+    att[0, 2, 5:8, 5:8] = 1
+    att[1, 0, 0:2, 0:2] = 1  # second sample: one instance + open rest
+    att = jnp.asarray(att)
+
+    rng = np.random.default_rng(4)
+    q, k, v = _qkv(rng, 2, 2, ntot, ntot, 32)
+    dense = build_fuser_mask(att, seg_tokens=seg)
+    ref = _pack(sdpa_xla(q, k, v, mask=dense))
+
+    labels = instance_labels(att, n_objs, seg)
+    out = flash_attention_packed(
+        _pack(q), _pack(k), _pack(v), 2, labels=labels,
+        block_q=16, block_k=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from instancediffusion_tpu.nn import core as nn
-from instancediffusion_tpu.kernels.group_norm import (
+from instancediffusion_tpu.kernels.norms import (
     _unfused, fused_group_norm,
 )
 
@@ -72,6 +72,55 @@ def test_fused_group_norm_grad():
 
     g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(x, scale, bias)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=0.1, atol=0.1,
+        )
+
+
+def test_fused_layer_norm_matches_unfused():
+    from instancediffusion_tpu.kernels.norms import (
+        _ln_unfused, fused_layer_norm,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(
+        rng.standard_normal((2, 64, 320), dtype=np.float32) * 2 - 1,
+        jnp.bfloat16,
+    )
+    scale = jnp.asarray(rng.standard_normal(320, dtype=np.float32))
+    bias = jnp.asarray(rng.standard_normal(320, dtype=np.float32))
+    ref = _ln_unfused(x, scale, bias, 1e-5)
+    out = fused_layer_norm(x, scale, bias, 1e-5, True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.03, atol=0.03,
+    )
+
+
+def test_fused_layer_norm_grad():
+    from instancediffusion_tpu.kernels.norms import (
+        _ln_unfused, fused_layer_norm,
+    )
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((1, 16, 64), dtype=np.float32),
+                    jnp.bfloat16)
+    scale = jnp.asarray(rng.standard_normal(64, dtype=np.float32))
+    bias = jnp.asarray(rng.standard_normal(64, dtype=np.float32))
+    g1 = jax.grad(
+        lambda x, s, b: jnp.sum(
+            fused_layer_norm(x, s, b, 1e-5, True).astype(jnp.float32) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(x, scale, bias)
+    g2 = jax.grad(
+        lambda x, s, b: jnp.sum(
+            _ln_unfused(x, s, b, 1e-5).astype(jnp.float32) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(x, scale, bias)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),

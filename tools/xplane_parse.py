@@ -109,8 +109,8 @@ def parse_device_ops(path: str, line_name: bytes = b"XLA Ops"):
 
 def group_key(op_name: str) -> str:
     """Collapse XLA op instance names (fusion.123, %dot.4) to families."""
-    base = op_name.split("%")[-1].split(".")[0]
-    return base
+    name = op_name.lstrip("%").split(" ")[0]
+    return name.split(".")[0]
 
 
 def summarize(path: str, top: int = 40, iters: int | None = None):
