@@ -86,6 +86,41 @@ class UNetConfig:
 
 
 @dataclass
+class RefinerUNetConfig:
+    """SDXL-Refiner UNet (stabilityai/stable-diffusion-xl-refiner-1.0).
+
+    Values from the public sgm config `sd_xl_refiner.yaml` (UNetModel
+    params). The reference runs this model through diffusers
+    (inference.py:112-129); here it is a native model family — see
+    models/sdxl_refiner.py."""
+    image_size: int = 128              # 1024px latents
+    in_channels: int = 4
+    out_channels: int = 4
+    model_channels: int = 384
+    attention_resolutions: tuple[int, ...] = (4, 2)
+    num_res_blocks: int = 2
+    channel_mult: tuple[int, ...] = (1, 2, 4, 4)
+    num_head_channels: int = 64        # heads = ch // 64 per level
+    transformer_depth: int = 4
+    context_dim: int = 1280            # OpenCLIP bigG penultimate states
+    adm_in_channels: int = 2560        # 5 x 256 fourier + 1280 pooled text
+    efficient_attention: bool = True
+
+
+@dataclass
+class OpenCLIPTextConfig:
+    """OpenCLIP ViT-bigG/14 text tower (the SDXL-Refiner conditioner)."""
+    vocab_size: int = 49408
+    max_length: int = 77
+    hidden_size: int = 1280
+    intermediate_size: int = 5120
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 20
+    activation: str = "gelu"           # CLIP-L uses quick_gelu
+    projection_dim: int = 1280
+
+
+@dataclass
 class VAEConfig:
     # configs/test_box.yaml:42-61
     scale_factor: float = 0.18215

@@ -121,7 +121,10 @@ def main(argv=None):
                    help="fraction of steps using Multi-Instance Sampler")
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--cascade_strength", type=float, default=0.0,
-                   help="SDXL refiner pass (requires diffusers; 0 = off)")
+                   help="native SDXL-Refiner img2img pass (0 = off)")
+    p.add_argument("--refiner_ckpt", type=str, default=None,
+                   help="sd_xl_refiner_1.0.safetensors path (random-init "
+                        "smoke refiner without it)")
     p.add_argument("--test_config", type=str, default="mask",
                    choices=["box", "point", "scribble", "mask", "all"],
                    help="modality preset (the reference's test_*.yaml)")
@@ -167,27 +170,41 @@ def main(argv=None):
         meta["prompt"] + ";alpha=" + str(args.alpha),
     )
     box_img.save(os.path.join(folder, f"{start}_boxes.png"))
+    if args.cascade_strength > 0:
+        refined = _sdxl_refine(
+            images, meta["prompt"], args.cascade_strength,
+            ckpt=getattr(args, "refiner_ckpt", None),
+        )
+        for i in range(refined.shape[0]):
+            Image.fromarray(refined[i]).save(os.path.join(
+                folder,
+                f"{start + i}_xl_s{args.cascade_strength}_n20.png",
+            ))
     for i in range(images.shape[0]):
-        img = Image.fromarray(images[i])
-        if args.cascade_strength > 0:
-            img = _sdxl_refine(img, meta["prompt"], args.cascade_strength)
-        img.save(os.path.join(folder, f"{start + i}.png"))
+        Image.fromarray(images[i]).save(
+            os.path.join(folder, f"{start + i}.png")
+        )
     print(f"saved {images.shape[0]} images to {folder}")
 
 
-def _sdxl_refine(img, prompt, strength, steps=20):
-    """Optional SDXL-Refiner cascade (inference.py:112-129). Requires the
-    diffusers package + weights; gracefully skipped when unavailable."""
-    try:
-        from diffusers import StableDiffusionXLImg2ImgPipeline  # noqa
-    except Exception:
-        print("diffusers unavailable; skipping cascade refine")
-        return img
-    pipe = StableDiffusionXLImg2ImgPipeline.from_pretrained(
-        "stabilityai/stable-diffusion-xl-refiner-1.0"
+def _sdxl_refine(images, prompt, strength, steps=20, ckpt=None):
+    """SDXL-Refiner cascade through the NATIVE refiner model family
+    (pipeline_refiner.py) — the reference calls an external diffusers
+    pipeline here (inference.py:112-129). `ckpt`: path to
+    sd_xl_refiner_1.0.safetensors; without it the refiner runs random-init
+    (a latency/smoke surface, like the rest of this weight-free env).
+    Output file suffix matches the reference (_xl_s{strength}_n{steps})."""
+    import numpy as np
+
+    from instancediffusion_tpu.pipeline_refiner import SDXLRefinerPipeline
+
+    pipe = (SDXLRefinerPipeline.from_checkpoint(ckpt) if ckpt
+            else SDXLRefinerPipeline.random_init())
+    out = pipe.refine(
+        np.asarray(images, np.float32) / 255.0, prompt,
+        strength=strength, steps=steps,
     )
-    return pipe(prompt, image=img, strength=strength,
-                num_inference_steps=steps).images[0]
+    return (out * 255).astype(np.uint8)
 
 
 if __name__ == "__main__":

@@ -47,9 +47,13 @@ def _init_layer(key, cfg: TextEncoderConfig) -> Params:
     }
 
 
-def init_clip_text(key, cfg: TextEncoderConfig) -> Params:
-    ks = jax.random.split(key, cfg.num_hidden_layers + 3)
-    return {
+def init_clip_text(key, cfg) -> Params:
+    """cfg: TextEncoderConfig (CLIP-L) or OpenCLIPTextConfig (bigG — adds
+    `activation="gelu"` and a `projection_dim` text projection for the
+    SDXL-Refiner pooled conditioning)."""
+    ks = jax.random.split(key, cfg.num_hidden_layers + 4)
+    proj_dim = getattr(cfg, "projection_dim", None)
+    out = {
         "token_embedding": jax.random.normal(
             ks[0], (cfg.vocab_size, cfg.hidden_size)
         ) * 0.02,
@@ -61,6 +65,11 @@ def init_clip_text(key, cfg: TextEncoderConfig) -> Params:
         ],
         "final_ln": nn.init_norm(cfg.hidden_size),
     }
+    if proj_dim:
+        out["text_projection"] = nn.init_linear(
+            ks[-1], cfg.hidden_size, proj_dim, bias=False
+        )
+    return out
 
 
 def _attn(p, x, num_heads, mask):
@@ -73,16 +82,23 @@ def _attn(p, x, num_heads, mask):
 
 def apply_clip_text(
     params: Params,
-    cfg: TextEncoderConfig,
+    cfg,
     input_ids: jnp.ndarray,          # (B, 77) int32
     attention_mask: jnp.ndarray | None = None,  # (B, 77) 1=valid, optional
 ) -> dict[str, jnp.ndarray]:
-    """-> {last_hidden_state: (B,77,768), pooler_output: (B,768)}.
+    """-> {last_hidden_state, pooler_output, penultimate_hidden_state
+    [, projected_pooled]}.
 
     pooler_output = final-LN hidden at the EOT position (= argmax of
     input_ids, the highest BPE id being the end-of-text token), matching HF
-    CLIPTextModel.pooler_output used by the reference's phrase encoder."""
+    CLIPTextModel.pooler_output used by the reference's phrase encoder.
+    penultimate_hidden_state = the residual stream after N-1 blocks,
+    WITHOUT final LN — OpenCLIP's layer="penultimate" output, the
+    SDXL-Refiner cross-attention context. projected_pooled (present when
+    the tower has a text_projection) = pooled @ W_proj, the refiner's
+    pooled conditioning."""
     b, n = input_ids.shape
+    act = quick_gelu if getattr(cfg, "activation", "quick_gelu") == "quick_gelu" else nn.gelu
     x = params["token_embedding"][input_ids] + params["position_embedding"][:n]
 
     causal = jnp.tril(jnp.ones((n, n), bool))[None, None]  # (1,1,N,N)
@@ -92,13 +108,23 @@ def apply_clip_text(
     else:
         mask = causal
 
-    for layer in params["layers"]:
+    penultimate = None
+    for i, layer in enumerate(params["layers"]):
+        if i == len(params["layers"]) - 1:
+            penultimate = x
         h = nn.layer_norm(layer["ln1"], x)
         x = x + _attn(layer, h, cfg.num_attention_heads, mask)
         h = nn.layer_norm(layer["ln2"], x)
-        x = x + nn.linear(layer["fc2"], quick_gelu(nn.linear(layer["fc1"], h)))
+        x = x + nn.linear(layer["fc2"], act(nn.linear(layer["fc1"], h)))
 
     x = nn.layer_norm(params["final_ln"], x)
     eot = jnp.argmax(input_ids, axis=-1)
     pooled = x[jnp.arange(b), eot]
-    return {"last_hidden_state": x, "pooler_output": pooled}
+    out = {
+        "last_hidden_state": x,
+        "pooler_output": pooled,
+        "penultimate_hidden_state": penultimate,
+    }
+    if "text_projection" in params:
+        out["projected_pooled"] = nn.linear(params["text_projection"], pooled)
+    return out

@@ -226,17 +226,21 @@ def _apply_fuser(p, x, objs, num_heads, gate_scale, fuser_mask, impl):
     return x
 
 
-def _init_transformer_block(key, query_dim, context_dim) -> Params:
+def _init_transformer_block(
+    key, query_dim, context_dim, with_fuser: bool = True
+) -> Params:
     ks = jax.random.split(key, 4)
-    return {
+    p = {
         "attn1": _init_mha(ks[0], query_dim, query_dim, query_dim),
-        "fuser": _init_fuser(ks[1], query_dim, context_dim),
         "attn2": _init_mha(ks[2], query_dim, context_dim, query_dim),
         "ff": _init_ff_geglu(ks[3], query_dim),
         "norm1": nn.init_norm(query_dim),
         "norm2": nn.init_norm(query_dim),
         "norm3": nn.init_norm(query_dim),
     }
+    if with_fuser:
+        p["fuser"] = _init_fuser(ks[1], query_dim, context_dim)
+    return p
 
 
 def _apply_transformer_block(
@@ -250,7 +254,9 @@ def _apply_transformer_block(
     lax.cond skips the whole fuser at runtime for those steps."""
     xn = nn.layer_norm(p["norm1"], x)
     x = _apply_mha(p["attn1"], xn, xn, num_heads, impl=impl) + x
-    if isinstance(gate_scale, (int, float)):
+    if "fuser" not in p:
+        pass  # plain SD/SDXL block (sdxl_refiner.py reuses this stack)
+    elif isinstance(gate_scale, (int, float)):
         # static gate (training / fixed-alpha inference): resolve at trace
         # time — also keeps jax.checkpoint differentiable (cond + remat
         # don't compose for linearization)
@@ -275,13 +281,15 @@ def _apply_transformer_block(
     return x
 
 
-def _init_spatial_transformer(key, in_ch, context_dim, depth) -> Params:
+def _init_spatial_transformer(
+    key, in_ch, context_dim, depth, with_fuser: bool = True
+) -> Params:
     ks = jax.random.split(key, depth + 2)
     return {
         "norm": nn.init_norm(in_ch),
         "proj_in": nn.init_conv2d(ks[0], in_ch, in_ch, 1),
         "blocks": [
-            _init_transformer_block(ks[1 + d], in_ch, context_dim)
+            _init_transformer_block(ks[1 + d], in_ch, context_dim, with_fuser)
             for d in range(depth)
         ],
         "proj_out": nn.init_conv2d(ks[depth + 1], in_ch, in_ch, 1, zero=True),

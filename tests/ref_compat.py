@@ -59,10 +59,17 @@ def install_reference():
         timm.models = timm_models
         timm_models.layers = timm_layers
         timm_models.registry = timm_registry
-        sys.modules["timm"] = timm
-        sys.modules["timm.models"] = timm_models
-        sys.modules["timm.models.layers"] = timm_layers
-        sys.modules["timm.models.registry"] = timm_registry
+        for name, mod in (
+            ("timm", timm), ("timm.models", timm_models),
+            ("timm.models.layers", timm_layers),
+            ("timm.models.registry", timm_registry),
+        ):
+            # a real __spec__ keeps importlib.util.find_spec() (used by
+            # transformers' optional-dependency probing) from raising
+            import importlib.machinery
+
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            sys.modules[name] = mod
 
     if "omegaconf" not in sys.modules:
         oc = types.ModuleType("omegaconf")
