@@ -165,7 +165,7 @@ def _init_ff_geglu(key, dim, mult=4) -> Params:
 
 
 def _apply_ff_geglu(p: Params, x):
-    if x.dtype == jnp.bfloat16 and jax.devices()[0].platform != "cpu":
+    if x.dtype == jnp.bfloat16 and nn.fused_kernels_enabled():
         from instancediffusion_tpu.kernels.geglu_ff import (
             ff_fits, fused_ff_geglu,
         )

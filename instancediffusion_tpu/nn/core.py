@@ -111,6 +111,33 @@ def conv2d(
 
 
 # ---------------------------------------------------------------------------
+# Fused-kernel dispatch switch (trace-time)
+#
+# The fused Pallas kernels (norms, GEGLU-FF) win on the inference path but
+# lose under gradient checkpointing: remat replays their forward AND their
+# custom VJP recomputes the unfused formula, costing an extra full forward
+# per backward. Training wraps its UNet call in `no_fused_kernels()`.
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+_fused_enabled = [True]
+
+
+@contextlib.contextmanager
+def no_fused_kernels():
+    _fused_enabled.append(False)
+    try:
+        yield
+    finally:
+        _fused_enabled.pop()
+
+
+def fused_kernels_enabled() -> bool:
+    return _fused_enabled[-1] and jax.devices()[0].platform != "cpu"
+
+
+# ---------------------------------------------------------------------------
 # Norms — float32 internal math, cast back to input dtype
 # ---------------------------------------------------------------------------
 
@@ -141,8 +168,7 @@ def group_norm(
     spatial = x.shape[1:-1]
     b = x.shape[0]
     g = num_groups
-    # platform != "cpu" == the real chip (shows as "tpu" or "axon")
-    if orig_dtype == jnp.bfloat16 and jax.devices()[0].platform != "cpu":
+    if orig_dtype == jnp.bfloat16 and fused_kernels_enabled():
         from instancediffusion_tpu.kernels.norms import (
             fused_group_norm, group_norm_fits,
         )
@@ -179,7 +205,7 @@ def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """LayerNorm over the channel axis, fp32 math (torch nn.LayerNorm
     semantics). bf16 on TPU runs the fused Pallas kernel
     (kernels/norms.py) — identical fp32 math, one read + one write."""
-    if x.dtype == jnp.bfloat16 and jax.devices()[0].platform != "cpu":
+    if x.dtype == jnp.bfloat16 and fused_kernels_enabled():
         from instancediffusion_tpu.kernels.norms import (
             fused_layer_norm, layer_norm_fits,
         )

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from instancediffusion_tpu.config import Config
 from instancediffusion_tpu.models import clip_text, unet, unifusion, vae
+from instancediffusion_tpu.nn import core as nn_core
 from instancediffusion_tpu.ops.schedules import DiffusionSchedule
 from instancediffusion_tpu.train.optimizer import init_ema, update_ema
 
@@ -107,6 +108,10 @@ def make_train_step(cfg: Config, diffusion: DiffusionSchedule, tx,
                 rasters, cfg.model.max_objs, gcfg.num_seg_tokens
             )
 
+        # fused norm/FF kernels stay ON here: measured 405 ms/step with
+        # them vs 424 ms/step through the XLA paths (their recompute-based
+        # VJPs cost an extra FF forward under remat, but the fused forward
+        # replay is cheaper than the unfused one by more than that)
         eps_hat = unet.apply_unet(
             unet_params, cfg.model, x_t, t, context, grounding,
             gate_scale=1.0, drops=drops, fuser_mask=fuser_mask,
