@@ -24,7 +24,7 @@ def main():
     from instancediffusion_tpu.config import Config, apply_test_preset
     from instancediffusion_tpu.pipeline import InstanceDiffusionPipeline
 
-    num_images = int(os.environ.get("BENCH_BATCH", "4"))
+    num_images = int(os.environ.get("BENCH_BATCH", "8"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
 
     cfg = apply_test_preset(Config(), "box")

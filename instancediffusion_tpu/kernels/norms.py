@@ -26,6 +26,11 @@ from jax.experimental.pallas import tpu as pltpu
 # one (N, C) batch row must fit VMEM ~3x over (in/out + fp32 temps)
 _MAX_VMEM_ELEMS = 2 * 1024 * 1024
 
+# Mosaic's scoped-stack estimate for these kernels varies with the
+# surrounding program (observed 16-24M for identical shapes); the actual
+# VMEM need is far below this limit
+_NORM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
 
 def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps, act,
                block_n):
@@ -136,6 +141,7 @@ def fused_group_norm(
         out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        compiler_params=_NORM_PARAMS,
         interpret=interpret,
     )(x, scale.reshape(1, c), bias.reshape(1, c))
 
@@ -215,6 +221,7 @@ def fused_layer_norm(
         out_specs=pl.BlockSpec((1, block_n, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        compiler_params=_NORM_PARAMS,
         interpret=interpret,
     )(x, scale.reshape(1, c), bias.reshape(1, c))
 
