@@ -10,9 +10,9 @@ Architecture (public sgm config `sd_xl_refiner.yaml`, UNetModel section):
 384 base channels, channel_mult (1,2,4,4), 2 res blocks/level, depth-4
 spatial transformers at ds 2 and 4 (+ middle), head dim 64 (heads vary by
 level: 6/12/24), cross-attention context 1280 (OpenCLIP-bigG penultimate
-hidden states), and an ADM vector conditioning y of 2560 = five 256-d
-Fourier-embedded scalars (orig H/W, crop top/left, aesthetic score) +
-1280-d pooled text, added to the time embedding through label_emb.
+hidden states), and an ADM vector conditioning y of 2560 = 1280-d pooled
+text followed by five 256-d Fourier-embedded scalars (orig H/W, crop
+top/left, aesthetic score), added to the time embedding through label_emb.
 Prediction target: eps.
 
 No fuser / ScaleU / first-conv swap — those are InstanceDiffusion's SD1.5
@@ -132,11 +132,11 @@ def refiner_adm_vector(
     crop: tuple[int, int] = (0, 0),
     aesthetic_score: float = 6.0,
 ) -> jnp.ndarray:
-    """ADM vector y (B, 2560): Fourier-embed the five conditioning scalars
-    (same sinusoidal embedding as timesteps, dim 256 each) and append the
-    pooled text feature — the refiner's `add_time_ids` + aesthetic-score
-    conditioning (SDXL report §2.2; negative batches conventionally use
-    aesthetic_score 2.5)."""
+    """ADM vector y (B, 2560) in sgm's GeneralConditioner order: embedder-0
+    (pooled OpenCLIP text, 1280) FIRST, then the ConcatTimestepEmbedderND
+    outputs — orig H/W, crop top/left, aesthetic score, each Fourier-embedded
+    at dim 256 with the same sinusoidal formula as timesteps (SDXL report
+    §2.2; negative batches conventionally use aesthetic_score 2.5)."""
     b = pooled_text.shape[0]
     scalars = jnp.asarray(
         [orig_size[0], orig_size[1], crop[0], crop[1], aesthetic_score],
@@ -144,7 +144,7 @@ def refiner_adm_vector(
     )
     emb = timestep_embedding(scalars, 256)          # (5, 256)
     emb = jnp.broadcast_to(emb.reshape(1, -1), (b, 5 * 256))
-    return jnp.concatenate([emb.astype(pooled_text.dtype), pooled_text], axis=1)
+    return jnp.concatenate([pooled_text, emb.astype(pooled_text.dtype)], axis=1)
 
 
 def apply_refiner_unet(

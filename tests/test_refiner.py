@@ -63,12 +63,12 @@ def test_adm_vector():
     pooled = jnp.ones((2, 1280))
     y = refiner_adm_vector(pooled, (1024, 1024), (0, 0), 6.0)
     assert y.shape == (2, 2560)
-    # last 1280 entries are the pooled text
-    np.testing.assert_array_equal(np.asarray(y[:, 1280:]), 1.0)
+    # sgm GeneralConditioner order: pooled text FIRST, fourier scalars after
+    np.testing.assert_array_equal(np.asarray(y[:, :1280]), 1.0)
     # aesthetic score changes only the fourier half
     y2 = refiner_adm_vector(pooled, (1024, 1024), (0, 0), 2.5)
-    assert not np.allclose(np.asarray(y[:, :1280]), np.asarray(y2[:, :1280]))
-    np.testing.assert_array_equal(np.asarray(y2[:, 1280:]), 1.0)
+    assert not np.allclose(np.asarray(y[:, 1280:]), np.asarray(y2[:, 1280:]))
+    np.testing.assert_array_equal(np.asarray(y2[:, :1280]), 1.0)
 
 
 def _ldm_names_for(cfg):
