@@ -492,10 +492,13 @@ def collate(samples: list[dict], tokenizer=None, max_len: int = 77,
     """Stack samples; tokenize captions to ids for the on-device CLIP.
     keep_caption=True additionally carries the raw caption strings (host-only
     consumers like the sample-grid saver; never device_put such a batch)."""
+    # stack only numeric leaves: string fields (caption) and string LISTS
+    # (obj_captions) must never become numpy unicode arrays — device_put
+    # on such a batch raises on the first training step
     batch = {
         k: np.stack([s[k] for s in samples])
         for k in samples[0]
-        if not isinstance(samples[0][k], str)
+        if isinstance(samples[0][k], (np.ndarray, np.generic, int, float))
     }
     if tokenizer is not None:
         batch["caption_ids"] = np.stack(
@@ -503,6 +506,7 @@ def collate(samples: list[dict], tokenizer=None, max_len: int = 77,
         )
     if keep_caption:
         batch["caption"] = [s["caption"] for s in samples]
+        batch["obj_captions"] = [s.get("obj_captions", []) for s in samples]
     return batch
 
 

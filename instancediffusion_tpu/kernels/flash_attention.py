@@ -216,7 +216,7 @@ def flash_attention(
     if mask is not None:
         from instancediffusion_tpu.ops.attention import sdpa_xla
 
-        return sdpa_xla(q, k, v, mask=mask)
+        return sdpa_xla(q, k, v, mask=mask, pre_scaled=pre_scaled)
 
     b, h, n, c = q.shape
     m = k.shape[2]
@@ -407,7 +407,10 @@ def _flash_kernel_packed_labeled(
             keep = keep & (col < kv_len)
         return keep
 
-    keeps = jnp.stack([block_keep(kb) for kb in range(num_full)])
+    keeps = (
+        jnp.stack([block_keep(kb) for kb in range(num_full)])
+        if num_full else None
+    )
     tail_keep = block_keep(num_full) if has_tail else None
 
     outs = []

@@ -113,10 +113,11 @@ def conv2d(
 # ---------------------------------------------------------------------------
 # Fused-kernel dispatch switch (trace-time)
 #
-# The fused Pallas kernels (norms, GEGLU-FF) win on the inference path but
-# lose under gradient checkpointing: remat replays their forward AND their
-# custom VJP recomputes the unfused formula, costing an extra full forward
-# per backward. Training wraps its UNet call in `no_fused_kernels()`.
+# Escape hatch: wrap a trace in `no_fused_kernels()` to route norms and the
+# GEGLU-FF through plain XLA (debugging, or platforms where the Mosaic
+# kernels misbehave). Training does NOT use it — the fused kernels measured
+# faster there too (405 vs 424 ms/step, tools/train_bench.py), even though
+# their custom VJPs recompute the unfused formula under remat.
 # ---------------------------------------------------------------------------
 
 import contextlib

@@ -402,6 +402,8 @@ class InstanceDiffusionPipeline:
         neg = scfg.negative_prompt if negative_prompt is None else negative_prompt
         mcfg = self.cfg.model
         n_meta = len(metas)
+        if n_meta == 0:
+            raise ValueError("generate_batch needs at least one meta")
         if seeds is None:
             seeds = list(range(n_meta))
 
@@ -460,11 +462,20 @@ class InstanceDiffusionPipeline:
             )
 
             dsh, repl = data_sharding(mesh), replicated(mesh)
-            if self._replicated_params is None:
+            # cache keyed by the mesh identity AND current param objects:
+            # a different mesh or swapped weights must not reuse stale
+            # replicated copies (cross-mesh sharding error / old weights)
+            cache_key = (id(mesh), id(self.params.unet), id(self.params.vae))
+            if (
+                self._replicated_params is None
+                or self._replicated_params[0] != cache_key
+            ):
                 self._replicated_params = (
-                    jax.device_put(unet_p, repl), jax.device_put(vae_p, repl)
+                    cache_key,
+                    jax.device_put(unet_p, repl),
+                    jax.device_put(vae_p, repl),
                 )
-            unet_p, vae_p = self._replicated_params
+            _, unet_p, vae_p = self._replicated_params
             shard = lambda t: jax.tree_util.tree_map(
                 lambda a: jax.device_put(a, dsh), t
             )

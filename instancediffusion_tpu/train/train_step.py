@@ -26,7 +26,6 @@ import jax.numpy as jnp
 
 from instancediffusion_tpu.config import Config
 from instancediffusion_tpu.models import clip_text, unet, unifusion, vae
-from instancediffusion_tpu.nn import core as nn_core
 from instancediffusion_tpu.ops.schedules import DiffusionSchedule
 from instancediffusion_tpu.train.optimizer import init_ema, update_ema
 

@@ -216,3 +216,28 @@ def test_instance_grounding_from_batch():
     )
     assert g["masks"][:, 1:].sum() == 0  # only slot 0 populated
     np.testing.assert_array_equal(g["text_masks"], g["masks"])
+
+
+def test_collate_is_device_puttable():
+    """String leaves (caption) and string-list leaves (obj_captions) must
+    never reach the stacked batch — device_put on a numpy unicode array
+    raises on the first training step."""
+    import jax
+
+    from instancediffusion_tpu.data.jsondataset import collate
+
+    sample = {
+        "image": np.zeros((8, 8, 3), np.float32),
+        "boxes": np.zeros((2, 4), np.float32),
+        "caption": "a cat",
+        "obj_captions": ["a cat", "a dog"],
+    }
+    batch = collate([sample, sample])
+    assert "caption" not in batch and "obj_captions" not in batch
+    for v in batch.values():
+        assert v.dtype.kind in "fiu", v.dtype
+    jax.tree_util.tree_map(jax.device_put, batch)  # must not raise
+
+    kept = collate([sample, sample], keep_caption=True)
+    assert kept["caption"] == ["a cat", "a cat"]
+    assert kept["obj_captions"][0] == ["a cat", "a dog"]

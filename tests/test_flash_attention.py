@@ -117,3 +117,17 @@ def test_flash_packed_labeled_matches_masked_xla():
         block_q=16, block_k=16, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_dense_mask_fallback_respects_pre_scaled():
+    """The dense-mask branch falls back to sdpa_xla; with pre_scaled=True
+    (scale folded into to_q upstream) it must not scale a second time."""
+    rng = np.random.default_rng(7)
+    q, k, v = _qkv(rng, 1, 2, 64, 64, 32)
+    mask = jnp.asarray(rng.uniform(size=(1, 1, 64, 64)) > 0.3)
+    ref = sdpa_xla(q, k, v, mask=mask)
+    scale = 32 ** -0.5
+    out = flash_attention(
+        q * scale, k, v, mask=mask, interpret=True, pre_scaled=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
