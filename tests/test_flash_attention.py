@@ -131,3 +131,28 @@ def test_flash_dense_mask_fallback_respects_pre_scaled():
         q * scale, k, v, mask=mask, interpret=True, pre_scaled=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_packed_labeled_single_tail_block():
+    """kv_len < block_k: zero full blocks, everything in the peeled tail
+    (regression: jnp.stack([]) crash)."""
+    from instancediffusion_tpu.kernels.flash_attention import (
+        flash_attention_packed,
+    )
+
+    s, n_objs, seg = 4, 2, 4
+    ntot = s * s + 4 * n_objs + seg  # 28
+    att = np.zeros((1, n_objs, s, s), np.float32)
+    att[0, 0, 0:2, 1:3] = 1
+    att[0, 1, 2:4, 0:2] = 1
+    att = jnp.asarray(att)
+    rng = np.random.default_rng(8)
+    q, k, v = _qkv(rng, 1, 2, ntot, ntot, 16)
+    dense = build_fuser_mask(att, seg_tokens=seg)
+    ref = _pack(sdpa_xla(q, k, v, mask=dense))
+    labels = instance_labels(att, n_objs, seg)
+    out = flash_attention_packed(
+        _pack(q), _pack(k), _pack(v), 2, labels=labels,
+        block_q=128, block_k=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
