@@ -50,6 +50,11 @@ class UniFusionConfig:
     seg_resize_input: int = 512
     seg_down_factor: int = 64
     convnext_feature_dim: int = 3072
+    # ConvNeXt size (defaults = ConvNeXt-T, convnext.py:151-158 in the
+    # reference); micro test/dryrun configs shrink these — a full -T
+    # fwd+bwd costs ~35s/step on a 1-core CPU host
+    convnext_depths: tuple[int, ...] = (3, 3, 9, 3)
+    convnext_dims: tuple[int, ...] = (96, 192, 384, 768)
 
     @property
     def use_segs(self) -> bool:

@@ -49,35 +49,38 @@ def _apply_block(p, x):
     return inp + x
 
 
-def init_convnext_tiny(key, in_chans: int = 3):
+def init_convnext_tiny(key, in_chans: int = 3, depths=TINY_DEPTHS, dims=TINY_DIMS):
+    """depths/dims default to ConvNeXt-T; overridable so micro test/dryrun
+    configs can keep the seg branch at negligible FLOPs (a full -T forward
+    is ~35s/step on a 1-core CPU host — measured, __graft_entry__ r3)."""
     keys = iter(jax.random.split(key, 64))
     params = {
-        "stem_conv": nn.init_conv2d(next(keys), in_chans, TINY_DIMS[0], 4),
-        "stem_norm": nn.init_norm(TINY_DIMS[0]),
+        "stem_conv": nn.init_conv2d(next(keys), in_chans, dims[0], 4),
+        "stem_norm": nn.init_norm(dims[0]),
         "downsample": [],
         "stages": [],
     }
-    for i in range(3):
+    for i in range(len(dims) - 1):
         params["downsample"].append(
             {
-                "norm": nn.init_norm(TINY_DIMS[i]),
-                "conv": nn.init_conv2d(next(keys), TINY_DIMS[i], TINY_DIMS[i + 1], 2),
+                "norm": nn.init_norm(dims[i]),
+                "conv": nn.init_conv2d(next(keys), dims[i], dims[i + 1], 2),
             }
         )
-    for i in range(4):
+    for i in range(len(dims)):
         params["stages"].append(
-            [_init_block(next(keys), TINY_DIMS[i]) for _ in range(TINY_DEPTHS[i])]
+            [_init_block(next(keys), dims[i]) for _ in range(depths[i])]
         )
     return params
 
 
 def apply_convnext_tiny(params, x: jnp.ndarray) -> jnp.ndarray:
-    """x: (B, H, W, C_in) -> (B, H/32, W/32, 768) feature map."""
+    """x: (B, H, W, C_in) -> (B, H/(4*2^n_down), W/(4*2^n_down), dims[-1])."""
     x = nn.conv2d(params["stem_conv"], x, stride=4, padding=0)
     x = nn.layer_norm(params["stem_norm"], x, eps=1e-6)
     for blk in params["stages"][0]:
         x = _apply_block(blk, x)
-    for i in range(3):
+    for i in range(len(params["downsample"])):
         ds = params["downsample"][i]
         x = nn.layer_norm(ds["norm"], x, eps=1e-6)
         x = nn.conv2d(ds["conv"], x, stride=2, padding=0)

@@ -195,7 +195,9 @@ def init_unifusion(key, cfg: UniFusionConfig) -> Params:
         p["mlp_seg"] = _init_mlp(next(keys), dims["seg"], cfg.mid_dim, cfg.out_dim)
         p["null_seg"] = jnp.zeros((dims["seg"],), jnp.float32)
         p["in_conv"] = nn.init_conv2d(next(keys), cfg.seg_channels, 3, 3)
-        p["convnext"] = init_convnext_tiny(next(keys))
+        p["convnext"] = init_convnext_tiny(
+            next(keys), depths=cfg.convnext_depths, dims=cfg.convnext_dims
+        )
         p["pos_embedding"] = (
             jax.random.normal(next(keys), (1, cfg.num_seg_tokens, dims["seg"])) * 0.02
         )
