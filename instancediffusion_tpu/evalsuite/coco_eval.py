@@ -185,26 +185,20 @@ def run_coco_eval(
         if meta is not None:
             metas.append((img_id, meta))
 
+    # mis > 0 (the test_mask protocol, eval_local.py:79) batches exactly
+    # like mis == 0: generate_batch pads every image to a shared static
+    # trajectory count and weights padding trajectories out of the MIS
+    # merge. Sorting the chunk contents by instance count would minimize
+    # padding waste, but COCO order must be kept deterministic per the
+    # reference's sorted-ids protocol (eval_local.py:170-171), so chunks
+    # stay in id order.
     done = 0
-    if mis > 0:
-        for img_id, meta in metas:
-            imgs = pipe.generate(
-                meta, num_images=1, steps=steps,
-                guidance_scale=guidance_scale, alpha=alpha, mis=mis,
-                seed=seed + img_id,
-            )
-            Image.fromarray(imgs[0]).save(
-                os.path.join(out_dir, meta["file_name"])
-            )
-            done += 1
-        return done
-
     for i in range(0, len(metas), batch_size):
         chunk = metas[i : i + batch_size]
         imgs = pipe.generate_batch(
             [m for _, m in chunk], steps=steps, guidance_scale=guidance_scale,
             alpha=alpha, seeds=[seed + img_id for img_id, _ in chunk],
-            mesh=mesh,
+            mesh=mesh, mis=mis,
         )
         for (_, meta), img in zip(chunk, imgs):
             Image.fromarray(img).save(os.path.join(out_dir, meta["file_name"]))

@@ -136,13 +136,58 @@ def _init_mha(key, query_dim, kv_dim, inner_dim) -> Params:
     }
 
 
+def _pad_head_cols(w, num_heads: int, c: int, cpad: int):
+    """(in, H*c) projection weight -> (in, H*cpad) with zero-padded
+    per-head column groups."""
+    wh = w.reshape(w.shape[0], num_heads, c)
+    wh = jnp.pad(wh, ((0, 0), (0, 0), (0, cpad - c)))
+    return wh.reshape(w.shape[0], num_heads * cpad)
+
+
+def _pad_head_rows(w, num_heads: int, c: int, cpad: int):
+    """(H*c, out) output-projection weight -> (H*cpad, out) with zero rows
+    at the padded per-head positions."""
+    wh = w.reshape(num_heads, c, w.shape[1])
+    wh = jnp.pad(wh, ((0, 0), (0, cpad - c), (0, 0)))
+    return wh.reshape(num_heads * cpad, w.shape[1])
+
+
 def _apply_mha(p: Params, x, kv, num_heads, mask=None, labels=None, impl="xla"):
+    inner = p["to_q"]["w"].shape[1]
+    c = inner // num_heads
+    n, m = x.shape[1], kv.shape[1]
+    big = (n >= 1024 and m >= 512) or labels is not None
+    if impl == "pallas" and big and mask is None and c < 64:
+        # ds1 (head_c=40) packed-64 path: pad every head to 64 channels BY
+        # PADDING THE PROJECTION WEIGHTS — the matmuls then emit the packed
+        # (B, N, H*64) layout directly, so neither XLA's (B,H,N,40)
+        # head-split copies nor any pad op ever exist (they were ~8 ms/fwd,
+        # docs/traces/r2_final). The MXU cost of qk^T/sv is IDENTICAL at
+        # c=40 and c=64 (any contraction/output dim <= 128 occupies one
+        # 128-wide pass — that's exactly why d=40 capped us at 61 TF/s),
+        # and the packed kernel's in-kernel head slices become 64-aligned,
+        # the regime where it measured faster than split-heads. Zero-padded
+        # q/k cols don't change q.k^T; zero v cols produce zero out cols
+        # which the zero-padded to_out ROWS ignore — bitwise-equal math.
+        from instancediffusion_tpu.kernels.flash_attention import (
+            flash_attention_packed,
+        )
+
+        cpad = 64
+        wq = _pad_head_cols(p["to_q"]["w"] * (c ** -0.5), num_heads, c, cpad)
+        q = nn.linear({"w": wq}, x)
+        k = nn.linear({"w": _pad_head_cols(p["to_k"]["w"], num_heads, c, cpad)}, kv)
+        v = nn.linear({"w": _pad_head_cols(p["to_v"]["w"], num_heads, c, cpad)}, kv)
+        out = flash_attention_packed(
+            q, k, v, num_heads, labels=labels, pre_scaled=True
+        )
+        wo = _pad_head_rows(p["to_out"]["w"], num_heads, c, cpad)
+        return nn.linear({"w": wo, "b": p["to_out"]["b"]}, out)
     pre_scaled = impl == "pallas"
     if pre_scaled:
         # fold 1/sqrt(c) into the (bias-free) to_q weight: saves the
         # kernels a whole-q scaling pass. Inference only — the training
         # kernels' VJP algebra assumes unscaled q (ops/attention.py).
-        c = p["to_q"]["w"].shape[1] // num_heads
         q = nn.linear({"w": p["to_q"]["w"] * (c ** -0.5)}, x)
     else:
         q = nn.linear(p["to_q"], x)

@@ -262,6 +262,7 @@ class InstanceDiffusionPipeline:
                 z = mis_mod.mis_sample(
                     traj_fn, global_fn, sched, x_init, num_traj,
                     mis_step=mis_step,
+                    traj_weights=cond.get("traj_weights"),
                 )
             else:
                 z = plms_sample(global_fn, sched, x_init)
@@ -382,6 +383,7 @@ class InstanceDiffusionPipeline:
         seeds: list[int] | None = None,
         negative_prompt: str | None = None,
         mesh=None,
+        mis: float | None = None,
         compute_dtype=jnp.bfloat16,
     ) -> np.ndarray:
         """ONE image per meta, all metas stacked on the batch axis of a
@@ -393,10 +395,17 @@ class InstanceDiffusionPipeline:
         for the reference's --num_jobs process splitting
         (eval_local.py:173-177). len(metas) should be a multiple of the
         mesh's data size; it is padded (and trimmed after) otherwise.
-        MIS is per-image (variable trajectory counts); use generate() for
-        mis > 0. Returns (len(metas), 512, 512, 3) uint8."""
+
+        mis > 0 (the test_mask protocol, eval_local.py:79): every image is
+        padded to a STATIC trajectory count (1 + max k_i over the batch,
+        rounded up to a multiple of 4 to bound compile variants, capped at
+        max_objs); padding trajectories denoise under null conditioning and
+        are excluded from the merge mean via a weight vector, so images
+        with different instance counts still share one compiled program.
+        Returns (len(metas), 512, 512, 3) uint8."""
         scfg = self.cfg.sampler
         steps = steps or scfg.steps
+        mis = scfg.mis if mis is None else mis
         gs = scfg.guidance_scale if guidance_scale is None else guidance_scale
         alpha = scfg.alpha if alpha is None else alpha
         neg = scfg.negative_prompt if negative_prompt is None else negative_prompt
@@ -420,9 +429,10 @@ class InstanceDiffusionPipeline:
 
         context = self.encode_prompt([m["prompt"] for m in metas])
         uc = self.encode_prompt([neg] * b)
-        g_rows = []
+        g_rows, embs = [], []
         for m in metas:
             emb = self.encode_phrases(m["phrases"])
+            embs.append(emb)
             g_rows.append(
                 prepare_grounding(
                     m, emb, batch=1, max_objs=mcfg.max_objs,
@@ -455,6 +465,59 @@ class InstanceDiffusionPipeline:
             axis=0,
         ).astype(compute_dtype)
 
+        num_traj, mis_step = 1, 0
+        if mis > 0 and max(len(m["phrases"]) for m in metas) > 0:
+            k_pad = min(
+                mcfg.max_objs,
+                -(-max(len(m["phrases"]) for m in metas) // 4) * 4,
+            )
+            num_traj = 1 + k_pad
+            mis_step = int(steps * mis)
+        if num_traj > 1 and mis_step > 0:
+            # trajectory-major stacks: rows [j*b, (j+1)*b) hold trajectory j
+            # (trajectory 0 = the global conditioning already in `cond`)
+            null_row = {
+                k: np.zeros((1,) + v.shape[1:], v.dtype)
+                for k, v in g_rows[0].items()
+            }
+            g_stacks = [grounding]
+            ctx_stacks = [cond["context"]]
+            uc_np = None
+            for j in range(num_traj - 1):
+                rows_j, prompts_j = [], []
+                for i, m in enumerate(metas):
+                    if j < len(m["phrases"]):
+                        im = prepare_instance_meta(m, j)
+                        rows_j.append(
+                            prepare_grounding(
+                                im, [embs[i][j]], batch=1,
+                                max_objs=mcfg.max_objs,
+                                in_dim=mcfg.grounding_tokenizer.in_dim,
+                            )
+                        )
+                        prompts_j.append(im["prompt"])
+                    else:
+                        rows_j.append(null_row)
+                        prompts_j.append(neg)
+                g_np_j = {
+                    k: np.concatenate([r[k] for r in rows_j], axis=0)
+                    for k in rows_j[0]
+                }
+                g_stacks.append(self._to_device_grounding(g_np_j, b))
+                ctx_stacks.append(
+                    self.encode_prompt(prompts_j).astype(compute_dtype)
+                )
+            cond["g_stack"] = mis_mod.stack_groundings(g_stacks)
+            cond["ctx_stack"] = jnp.concatenate(ctx_stacks, axis=0)
+            cond["uc_stack"] = jnp.tile(cond["uc"], (num_traj, 1, 1))
+            cond["null_stack"] = unifusion.null_grounding(
+                num_traj * b, mcfg.max_objs, mcfg.grounding_tokenizer
+            )
+            w = np.ones((num_traj, b), np.float32)
+            for i, m in enumerate(metas):
+                w[1 + len(m["phrases"]):, i] = 0.0
+            cond["traj_weights"] = jnp.asarray(w)
+
         unet_p, vae_p = self.params.unet, self.params.vae
         if mesh is not None:
             from instancediffusion_tpu.parallel.mesh import (
@@ -479,10 +542,18 @@ class InstanceDiffusionPipeline:
             shard = lambda t: jax.tree_util.tree_map(
                 lambda a: jax.device_put(a, dsh), t
             )
+            # traj_weights is (num_traj, B): its batch axis is axis 1
+            tw = cond.pop("traj_weights", None)
             cond = shard(cond)
+            if tw is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                cond["traj_weights"] = jax.device_put(
+                    tw, NamedSharding(mesh, P(None, "data"))
+                )
             x_init = jax.device_put(x_init, dsh)
 
-        sample_fn = self._get_sample_fn((gs, 1, 0))
+        sample_fn = self._get_sample_fn((gs, num_traj, mis_step))
         images = sample_fn(unet_p, vae_p, sched, cond, x_init)
         images = np.asarray(jnp.clip(images, -1, 1) * 0.5 + 0.5)
         return (images[:n_meta] * 255).astype(np.uint8)

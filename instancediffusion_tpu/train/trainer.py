@@ -170,15 +170,20 @@ class Trainer:
         from instancediffusion_tpu.data.jsondataset import collate
         from instancediffusion_tpu.train.sample_saver import save_train_samples
 
+        # Rotate the window through the dataset by step so successive dumps
+        # show different items (the reference samples the LIVE loader's
+        # current batches, utils/checkpoint.py:157; a fixed 0..N window
+        # would make visual drift over training invisible)
+        n = len(self.dataset)
+        need = tcfg.n_sample_batches * tcfg.batch_size
+        start = (step // max(1, tcfg.save_every_iters)) * need % max(1, n)
         batches = []
-        idx = 0
+        idx = start
         for _ in range(tcfg.n_sample_batches):
-            if idx + tcfg.batch_size > len(self.dataset):
+            if n < tcfg.batch_size:
                 break
-            samples = [
-                self.dataset.__getitem__(i, epoch=0)
-                for i in range(idx, idx + tcfg.batch_size)
-            ]
+            rows = [(idx + j) % n for j in range(tcfg.batch_size)]
+            samples = [self.dataset.__getitem__(i, epoch=0) for i in rows]
             batches.append(
                 collate(samples, self.loader.tokenizer, keep_caption=True)
             )
@@ -189,6 +194,7 @@ class Trainer:
         save_train_samples(
             self.cfg, self.state, batches, out_dir,
             steps=tcfg.sample_steps, seed=tcfg.seed,
+            tokenizer=self.loader.tokenizer,
         )
         print(f"saved {len(batches)} sample grids to {out_dir}", flush=True)
 

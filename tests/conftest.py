@@ -25,6 +25,15 @@ jax.config.update("jax_platforms", "cpu")
 # XLA:CPU's default matmul path (oneDNN) is low-precision (~bf16-level error
 # vs torch fp32); golden parity tests need true fp32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compile cache: XLA:CPU compiles are minutes on this 1-core
+# host and dominate suite wall-clock; repeat runs hit the cache.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "IDTPU_COMPILE_CACHE", os.path.expanduser("~/.cache/idtpu_xla")
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 assert len(jax.devices()) >= 8 and jax.devices()[0].platform == "cpu", (
     f"conftest failed to force the 8-device CPU mesh: "

@@ -156,3 +156,37 @@ def test_flash_packed_labeled_single_tail_block():
         block_q=128, block_k=128, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_mha_packed64_weight_padding_matches_xla(monkeypatch):
+    """The ds1 packed-64 path (models/unet._apply_mha): head channels are
+    padded 40->64 INSIDE the projection weights, so the packed kernel gets
+    64-aligned head slices with no head-split copies. Zero-padded q/k
+    columns leave q.k^T unchanged; zero v columns emit zero output columns
+    that the zero-padded to_out rows ignore — must equal the plain XLA
+    attention exactly (up to fp assoc)."""
+    import functools
+
+    import instancediffusion_tpu.kernels.flash_attention as fa_mod
+    from instancediffusion_tpu.models.unet import _apply_mha, _init_mha
+
+    rng = jax.random.PRNGKey(0)
+    b, n, m, h, c = 1, 1024, 512, 4, 40
+    inner = h * c
+    p = _init_mha(rng, inner, inner, inner)
+    kx, kv_ = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (b, n, inner), jnp.float32)
+    kv = jax.random.normal(kv_, (b, m, inner), jnp.float32)
+
+    ref = _apply_mha(p, x, kv, h, impl="xla")
+
+    monkeypatch.setattr(
+        fa_mod, "flash_attention_packed",
+        functools.partial(
+            fa_mod.flash_attention_packed, block_q=256, block_k=256,
+            interpret=True,
+        ),
+    )
+    got = _apply_mha(p, x, kv, h, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
