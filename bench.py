@@ -30,6 +30,18 @@ def main():
     cfg = apply_test_preset(Config(), "box")
     pipe = InstanceDiffusionPipeline.random_init(cfg, seed=0)
 
+    # persistent-cache accounting (the pipeline ctor enabled the cache):
+    # a warm run adds no entries and compiles in seconds, not minutes
+    cache_dir = os.environ.get(
+        "IDTPU_COMPILE_CACHE", os.path.expanduser("~/.cache/idtpu_xla")
+    )
+    def _cache_entries():
+        try:
+            return len(os.listdir(cache_dir))
+        except OSError:
+            return 0
+    entries_before = _cache_entries()
+
     # 4-instance box+point meta (demo_cat_dog_robin.json shape)
     meta = {
         "prompt": "a cat and a dog and a robin sitting on a wooden bench in a park",
@@ -73,6 +85,17 @@ def main():
             "steps": steps,
             "sec_per_image": round(dt / (num_images * n_runs), 4),
             "compile_s": round(compile_s, 1),
+            "cache_entries_before": entries_before,
+            "cache_entries_added": _cache_entries() - entries_before,
+            "cache_warm": (_cache_entries() == entries_before
+                           and entries_before > 0),
+            # analytic physics ceiling at reference semantics (50 PLMS
+            # steps x CFG, bf16, one v5e): tools/roofline.py + measured
+            # sampler/VAE overhead — docs/PERF.md round-3 table. The 2.0
+            # north star needs 2x fewer UNet evals (distillation), not
+            # better kernels; revised target 1.0.
+            "roofline_ceiling_img_s": 1.03,
+            "vs_roofline_ceiling": round(imgs_per_sec / 1.03, 4),
             "device": str(jax.devices()[0]),
         },
     }

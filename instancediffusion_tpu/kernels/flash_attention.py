@@ -75,6 +75,16 @@ def _pick_blocks(n: int, m: int, block_q: int, block_k: int):
     return bq, bk
 
 
+def aligned_kv_len(n: int, m: int, block_q: int = 512, block_k: int = 512):
+    """kv length at which `_prep_qkv`'s k/v pads become no-ops. Callers
+    that assemble kv by concatenation (the gatedSA fuser: visual tokens +
+    grounding tokens) can pad the SMALL concat operand up front so the
+    whole-kv pad copies (~2.2 ms/fwd of pure HBM traffic at ds1,
+    docs/traces/r3) never materialize; pass the true length as `kv_len`."""
+    _, bk = _pick_blocks(n, m, block_q, block_k)
+    return _ceil_to(m, bk)
+
+
 # ---------------------------------------------------------------------------
 # Forward kernels
 # ---------------------------------------------------------------------------
@@ -197,7 +207,8 @@ def _prep_qkv(q, k, v, block_q, block_k, scale):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret", "pre_scaled")
+    jax.jit,
+    static_argnames=("block_q", "block_k", "interpret", "pre_scaled", "kv_len"),
 )
 def flash_attention(
     q: jnp.ndarray,   # (B, H, N, C)
@@ -209,10 +220,13 @@ def flash_attention(
     block_k: int = 512,
     interpret: bool = False,
     pre_scaled: bool = False,
+    kv_len: int | None = None,
 ) -> jnp.ndarray:
     """Fused attention. For instance masking pass `labels` (indexed by
     SEQUENCE position over the M k-tokens; q covers the first N positions);
-    a dense `mask` falls back to the XLA path (kept for API parity)."""
+    a dense `mask` falls back to the XLA path (kept for API parity).
+    `kv_len`: true kv length when the caller pre-padded k/v to a block
+    multiple (see `aligned_kv_len`); rows >= kv_len are masked out."""
     if mask is not None:
         from instancediffusion_tpu.ops.attention import sdpa_xla
 
@@ -220,6 +234,7 @@ def flash_attention(
 
     b, h, n, c = q.shape
     m = k.shape[2]
+    true_m = m if kv_len is None else kv_len
     scale = None if pre_scaled else 1.0 / math.sqrt(c)
     block_q, block_k = _pick_blocks(n, m, block_q, block_k)
     qp, kp, vp, npad, mpad = _prep_qkv(q, k, v, block_q, block_k, scale)
@@ -228,7 +243,7 @@ def flash_attention(
     if labels is None:
         out = pl.pallas_call(
             functools.partial(
-                _flash_kernel, block_k=block_k, seq_k=mpad, kv_len=m,
+                _flash_kernel, block_k=block_k, seq_k=mpad, kv_len=true_m,
             ),
             grid=grid,
             in_specs=[
@@ -248,7 +263,7 @@ def flash_attention(
         )(qp, kp, vp)
     else:
         bits, open_ = labels  # (B, M) int32, sequence-position indexed
-        assert bits.shape[1] == m, "labels must cover the k sequence"
+        assert bits.shape[1] in (m, true_m), "labels must cover the k sequence"
         lbl_len = max(npad, mpad)
         bits_p, open_p = _pad_labels(bits, open_, lbl_len, h)
         lbl_spec = pl.BlockSpec((1, lbl_len), lambda bh, qb: (bh, 0),
@@ -256,7 +271,7 @@ def flash_attention(
         out = pl.pallas_call(
             functools.partial(
                 _flash_kernel_labeled, block_k=block_k, seq_k=mpad,
-                kv_len=m, block_q=block_q,
+                kv_len=true_m, block_q=block_q,
             ),
             grid=grid,
             in_specs=[
@@ -428,7 +443,7 @@ def _flash_kernel_packed_labeled(
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "block_q", "block_k", "interpret",
-                     "pre_scaled"),
+                     "pre_scaled", "kv_len"),
 )
 def flash_attention_packed(
     q: jnp.ndarray,   # (B, N, H*c)
@@ -440,13 +455,16 @@ def flash_attention_packed(
     block_k: int = 512,
     interpret: bool = False,
     pre_scaled: bool = False,
+    kv_len: int | None = None,
 ) -> jnp.ndarray:
     """Fused multi-head attention on projection-layout tensors: heads are
     split in-kernel, so no (B,H,N,c) array — and none of its physical
     retiling — ever exists. `pre_scaled`: the caller already folded
-    1/sqrt(c) into q (e.g. into the to_q weight — saves a whole-q pass)."""
+    1/sqrt(c) into q (e.g. into the to_q weight — saves a whole-q pass).
+    `kv_len`: true kv length for pre-padded k/v (see `aligned_kv_len`)."""
     b, n, hc = q.shape
     m = k.shape[1]
+    true_m = m if kv_len is None else kv_len
     c = hc // num_heads
     scale = 1.0 / math.sqrt(c)
     block_q, block_k = _pick_blocks(n, m, block_q, block_k)
@@ -472,7 +490,7 @@ def flash_attention_packed(
         out = pl.pallas_call(
             functools.partial(
                 _flash_kernel_packed, num_heads=num_heads,
-                block_k=block_k, seq_k=mpad, kv_len=m,
+                block_k=block_k, seq_k=mpad, kv_len=true_m,
             ),
             grid=grid, in_specs=qkv_specs, out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((b, npad, hc), q.dtype),
@@ -481,16 +499,16 @@ def flash_attention_packed(
         )(qp, kp, vp)
     else:
         bits, open_ = labels
-        assert bits.shape[1] == m, "labels must cover the k sequence"
+        assert bits.shape[1] in (m, true_m), "labels must cover the k sequence"
         lbl_len = max(npad, mpad)
-        bits_p = jnp.pad(bits, ((0, 0), (0, lbl_len - m)))
-        open_p = jnp.pad(open_, ((0, 0), (0, lbl_len - m)))
+        bits_p = jnp.pad(bits, ((0, 0), (0, lbl_len - bits.shape[1])))
+        open_p = jnp.pad(open_, ((0, 0), (0, lbl_len - open_.shape[1])))
         lbl_spec = pl.BlockSpec((1, lbl_len), lambda bi, qb: (bi, 0),
                                 memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             functools.partial(
                 _flash_kernel_packed_labeled, num_heads=num_heads,
-                block_k=block_k, seq_k=mpad, kv_len=m, block_q=block_q,
+                block_k=block_k, seq_k=mpad, kv_len=true_m, block_q=block_q,
             ),
             grid=grid, in_specs=[lbl_spec, lbl_spec] + qkv_specs,
             out_specs=out_spec,

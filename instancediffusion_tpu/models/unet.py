@@ -152,22 +152,29 @@ def _pad_head_rows(w, num_heads: int, c: int, cpad: int):
     return wh.reshape(num_heads * cpad, w.shape[1])
 
 
-def _apply_mha(p: Params, x, kv, num_heads, mask=None, labels=None, impl="xla"):
+# Measured OFF (tools/fwd_bench.py, r3): full-forward 99.3 ms packed64 vs
+# 98.3 ms split-heads — the (B,H,N,40) head-split copies the packed layout
+# eliminates were already hidden behind the async copy engines, and the
+# padded projections add 60% projection FLOPs. Kept (with interpret-mode
+# parity test) because the layout wins whenever head_c >= 64 natively.
+PACKED64 = False
+
+
+def _apply_mha(p: Params, x, kv, num_heads, mask=None, labels=None, impl="xla",
+               kv_len=None):
     inner = p["to_q"]["w"].shape[1]
     c = inner // num_heads
     n, m = x.shape[1], kv.shape[1]
     big = (n >= 1024 and m >= 512) or labels is not None
-    if impl == "pallas" and big and mask is None and c < 64:
+    if PACKED64 and impl == "pallas" and big and mask is None and c < 64:
         # ds1 (head_c=40) packed-64 path: pad every head to 64 channels BY
         # PADDING THE PROJECTION WEIGHTS — the matmuls then emit the packed
         # (B, N, H*64) layout directly, so neither XLA's (B,H,N,40)
-        # head-split copies nor any pad op ever exist (they were ~8 ms/fwd,
-        # docs/traces/r2_final). The MXU cost of qk^T/sv is IDENTICAL at
-        # c=40 and c=64 (any contraction/output dim <= 128 occupies one
-        # 128-wide pass — that's exactly why d=40 capped us at 61 TF/s),
-        # and the packed kernel's in-kernel head slices become 64-aligned,
-        # the regime where it measured faster than split-heads. Zero-padded
-        # q/k cols don't change q.k^T; zero v cols produce zero out cols
+        # head-split copies nor any pad op ever exist. The MXU cost of
+        # qk^T/sv is IDENTICAL at c=40 and c=64 (any contraction/output dim
+        # <= 128 occupies one 128-wide pass), and the packed kernel's
+        # in-kernel head slices become 64-aligned. Zero-padded q/k cols
+        # don't change q.k^T; zero v cols produce zero out cols
         # which the zero-padded to_out ROWS ignore — bitwise-equal math.
         from instancediffusion_tpu.kernels.flash_attention import (
             flash_attention_packed,
@@ -179,7 +186,7 @@ def _apply_mha(p: Params, x, kv, num_heads, mask=None, labels=None, impl="xla"):
         k = nn.linear({"w": _pad_head_cols(p["to_k"]["w"], num_heads, c, cpad)}, kv)
         v = nn.linear({"w": _pad_head_cols(p["to_v"]["w"], num_heads, c, cpad)}, kv)
         out = flash_attention_packed(
-            q, k, v, num_heads, labels=labels, pre_scaled=True
+            q, k, v, num_heads, labels=labels, pre_scaled=True, kv_len=kv_len
         )
         wo = _pad_head_rows(p["to_out"]["w"], num_heads, c, cpad)
         return nn.linear({"w": wo, "b": p["to_out"]["b"]}, out)
@@ -195,7 +202,7 @@ def _apply_mha(p: Params, x, kv, num_heads, mask=None, labels=None, impl="xla"):
     v = nn.linear(p["to_v"], kv)
     out = multi_head_attention(
         q, k, v, num_heads, mask=mask, labels=labels, impl=impl,
-        pre_scaled=pre_scaled,
+        pre_scaled=pre_scaled, kv_len=kv_len,
     )
     return nn.linear(p["to_out"], out)
 
@@ -250,10 +257,32 @@ def _apply_fuser(p, x, objs, num_heads, gate_scale, fuser_mask, impl):
     keep-mask or a (bits, open) label tuple for the flash kernel."""
     n_visual = x.shape[1]
     objs_p = nn.linear(p["linear"], objs.astype(x.dtype))
-    cat = nn.layer_norm(p["norm1"], jnp.concatenate([x, objs_p], axis=1))
     mask, labels = (
         (None, fuser_mask) if isinstance(fuser_mask, tuple) else (fuser_mask, None)
     )
+    # born-aligned kv: pad the SMALL grounding block so [x | objs] lands
+    # exactly on the flash kernel's k-block multiple — the whole-kv
+    # (B,H,M,c) pads inside the kernel wrapper (2.2 ms/fwd of HBM copies
+    # at ds1, docs/traces/r3) become no-ops. Rows >= kv_len are LN(0)=beta
+    # garbage after norm1; the kernel's existing tail mask drops them.
+    # Only when the call takes a flash path (mirrors multi_head_attention's
+    # `big` gate): the XLA/training fallbacks expect unpadded kv.
+    m_true = n_visual + objs_p.shape[1]
+    kv_len = None
+    if (
+        impl == "pallas"
+        and mask is None
+        and ((n_visual >= 1024 and m_true >= 512) or labels is not None)
+    ):
+        from instancediffusion_tpu.kernels.flash_attention import aligned_kv_len
+
+        m_pad = aligned_kv_len(n_visual, m_true)
+        if m_pad > m_true:
+            objs_p = jnp.pad(
+                objs_p, ((0, 0), (0, m_pad - m_true), (0, 0))
+            )
+            kv_len = m_true
+    cat = nn.layer_norm(p["norm1"], jnp.concatenate([x, objs_p], axis=1))
     if mask is not None:
         mask = mask[:, :, :n_visual, :]
     # query only the visual rows: the reference computes the grounding-token
@@ -262,7 +291,7 @@ def _apply_fuser(p, x, objs, num_heads, gate_scale, fuser_mask, impl):
     # exact q-block multiple
     attn_out = _apply_mha(
         p["attn"], cat[:, :n_visual], cat, num_heads, mask=mask,
-        labels=labels, impl=impl,
+        labels=labels, impl=impl, kv_len=kv_len,
     )
     g1 = (gate_scale * jnp.tanh(p["alpha_attn"])).astype(x.dtype)
     x = x + g1 * attn_out

@@ -81,11 +81,14 @@ def multi_head_attention(
     labels: tuple | None = None,
     impl: str = "xla",
     pre_scaled: bool = False,
+    kv_len: int | None = None,
 ) -> jnp.ndarray:
     """(B,N,H*C) x (B,M,H*C) -> (B,N,H*C) attention with optional keep-mask
     (dense `mask` or per-token instance `labels` — see
     kernels/flash_attention for the encoding). pre_scaled: the caller
-    folded 1/sqrt(c) into q (e.g. into the to_q weight)."""
+    folded 1/sqrt(c) into q (e.g. into the to_q weight). kv_len: true kv
+    length when k/v are pre-padded to a flash block multiple (pallas
+    inference paths only)."""
     n, m = q.shape[1], k.shape[1]
     # the fused kernel only pays off on long sequences; short ones (low-res
     # UNet levels, 77-token cross-attention) are faster through XLA and the
@@ -103,14 +106,16 @@ def multi_head_attention(
         )
 
         return flash_attention_packed(
-            q, k, v, num_heads, labels=labels, pre_scaled=pre_scaled
+            q, k, v, num_heads, labels=labels, pre_scaled=pre_scaled,
+            kv_len=kv_len,
         )
     qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
     if impl == "pallas" and big:
         from instancediffusion_tpu.kernels.flash_attention import flash_attention
 
         out = flash_attention(
-            qh, kh, vh, mask=mask, labels=labels, pre_scaled=pre_scaled
+            qh, kh, vh, mask=mask, labels=labels, pre_scaled=pre_scaled,
+            kv_len=kv_len,
         )
     elif impl == "pallas_train" and big:
         # differentiable fused kernels (custom VJP); labels route to the
@@ -130,6 +135,10 @@ def multi_head_attention(
         else:
             out = flash_attention_trainable(qh, kh, vh)
     else:
+        assert kv_len is None, (
+            "pre-padded kv (kv_len) is only valid on flash paths; the "
+            "caller must not pad when this call resolves to XLA/training"
+        )
         if labels is not None and mask is None:
             # labels index k-sequence positions; q covers the first n
             mask = labels_to_dense(*labels)[:, :, :n, :]

@@ -168,8 +168,10 @@ def test_mha_packed64_weight_padding_matches_xla(monkeypatch):
     import functools
 
     import instancediffusion_tpu.kernels.flash_attention as fa_mod
+    import instancediffusion_tpu.models.unet as unet_mod
     from instancediffusion_tpu.models.unet import _apply_mha, _init_mha
 
+    monkeypatch.setattr(unet_mod, "PACKED64", True)
     rng = jax.random.PRNGKey(0)
     b, n, m, h, c = 1, 1024, 512, 4, 40
     inner = h * c
@@ -190,3 +192,66 @@ def test_mha_packed64_weight_padding_matches_xla(monkeypatch):
     got = _apply_mha(p, x, kv, h, impl="pallas")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_fuser_born_aligned_kv_matches_xla(monkeypatch):
+    """The gatedSA fuser pre-pads the grounding block so kv is born at the
+    kernel's block multiple (models/unet._apply_fuser): the kernel-wrapper
+    whole-kv pads become no-ops and the true length rides in as kv_len.
+    Padded rows survive norm1 as LN(0)=beta garbage — the kernel's tail
+    mask must drop them, leaving the result equal to the unpadded XLA
+    fuser."""
+    import functools
+
+    import instancediffusion_tpu.kernels.flash_attention as fa_mod
+    from instancediffusion_tpu.models.unet import _apply_fuser, _init_fuser
+
+    b, n, g, ctx_dim, inner = 1, 1024, 184, 768, 320
+    p = _init_fuser(jax.random.PRNGKey(0), inner, ctx_dim)
+    # nonzero gates so the attention branch actually contributes
+    p["alpha_attn"] = jnp.asarray(0.7, jnp.float32)
+    p["alpha_dense"] = jnp.asarray(0.3, jnp.float32)
+    kx, ko = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (b, n, inner), jnp.float32)
+    objs = jax.random.normal(ko, (b, g, ctx_dim), jnp.float32)
+
+    ref = _apply_fuser(p, x, objs, 8, 1.0, None, impl="xla")
+
+    monkeypatch.setattr(
+        fa_mod, "flash_attention",
+        functools.partial(fa_mod.flash_attention, block_q=256, block_k=256,
+                          interpret=True),
+    )
+    got = _apply_fuser(p, x, objs, 8, 1.0, None, impl="pallas")
+    assert got.shape == ref.shape == (b, n, inner)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_labeled_prepadded_kv_matches_unpadded():
+    """kv pre-padded to a block multiple + kv_len: the garbage tail must be
+    dropped by the tail mask even for OPEN queries (whose label predicate
+    alone would keep every column)."""
+    s, n_objs, seg = 8, 2, 4
+    ntot = s * s + 4 * n_objs + seg  # 76 true tokens
+    att = np.zeros((1, n_objs, s, s), np.float32)
+    att[0, 0, 1:4, 2:6] = 1
+    att = jnp.asarray(att)
+    rng = np.random.default_rng(9)
+    q, k, v = _qkv(rng, 1, 2, ntot, ntot, 32)
+    labels = instance_labels(att, n_objs, seg)
+
+    ref = flash_attention(
+        q, k, v, labels=labels, block_q=16, block_k=16, interpret=True
+    )
+
+    pad = 16 * ((ntot + 15) // 16) - ntot  # to the 16-block multiple
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)),
+                 constant_values=7.0)  # poison the tail
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)), constant_values=7.0)
+    out = flash_attention(
+        q, kp, vp, labels=labels, block_q=16, block_k=16, interpret=True,
+        kv_len=ntot,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
