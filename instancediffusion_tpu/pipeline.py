@@ -28,7 +28,9 @@ from instancediffusion_tpu.data.grounding_input import (
 from instancediffusion_tpu.models import clip_text, unet, unifusion, vae
 from instancediffusion_tpu.ops.schedules import make_diffusion_schedule
 from instancediffusion_tpu.samplers import mis as mis_mod
-from instancediffusion_tpu.samplers.plms import make_plms_schedule, plms_sample
+from instancediffusion_tpu.samplers.plms import (
+    gate_runs, make_plms_schedule, plms_sample,
+)
 
 
 _CACHE_SET = False
@@ -171,6 +173,7 @@ class InstanceDiffusionPipeline:
     # Jitted sample fns are cached per static signature.
 
     def _make_sample_fn(self, gs: float, num_traj: int, mis_step: int,
+                        static_gates: tuple | None = None,
                         compute_dtype=jnp.bfloat16):
         cfg = self.cfg
         gcfg = cfg.model.grounding_tokenizer
@@ -263,12 +266,20 @@ class InstanceDiffusionPipeline:
                     traj_fn, global_fn, sched, x_init, num_traj,
                     mis_step=mis_step,
                     traj_weights=cond.get("traj_weights"),
+                    static_gates=static_gates,
                 )
             else:
-                z = plms_sample(global_fn, sched, x_init)
-            return vae.vae_decode(
+                z = plms_sample(global_fn, sched, x_init,
+                                static_gates=static_gates)
+            img = vae.vae_decode(
                 vae_params, cfg.autoencoder, z.astype(jnp.float32)
             )
+            # quantize ON DEVICE: [-1,1] fp32 -> uint8, floor to match the
+            # reference's numpy-astype truncation (inference.py:174-176).
+            # Only ~6MB of uint8 crosses the remote link per 8 images
+            # instead of ~25MB fp32 + five host numpy passes.
+            img = jnp.clip(img, -1.0, 1.0) * 0.5 + 0.5
+            return jnp.floor(img * 255.0).astype(jnp.uint8)
 
         return jax.jit(sample_fn)
 
@@ -363,12 +374,13 @@ class InstanceDiffusionPipeline:
                 num_traj * num_images, mcfg.max_objs, mcfg.grounding_tokenizer
             )
 
-        sample_fn = self._get_sample_fn((gs, num_traj, mis_step))
+        sample_fn = self._get_sample_fn(
+            (gs, num_traj, mis_step, gate_runs(sched.gates))
+        )
         images = sample_fn(
             self.params.unet, self.params.vae, sched, cond, x_init
         )
-        images = np.asarray(jnp.clip(images, -1, 1) * 0.5 + 0.5)
-        return (images * 255).astype(np.uint8)
+        return np.asarray(images)  # uint8, quantized on device
 
     # -- batched eval sampling -------------------------------------------------
 
@@ -553,7 +565,8 @@ class InstanceDiffusionPipeline:
                 )
             x_init = jax.device_put(x_init, dsh)
 
-        sample_fn = self._get_sample_fn((gs, num_traj, mis_step))
+        sample_fn = self._get_sample_fn(
+            (gs, num_traj, mis_step, gate_runs(sched.gates))
+        )
         images = sample_fn(unet_p, vae_p, sched, cond, x_init)
-        images = np.asarray(jnp.clip(images, -1, 1) * 0.5 + 0.5)
-        return (images[:n_meta] * 255).astype(np.uint8)
+        return np.asarray(images)[:n_meta]  # uint8, quantized on device

@@ -43,12 +43,16 @@ def mis_sample(
     # static trajectory count (images have varying instance counts k_i);
     # padding trajectories denoise with null conditioning and MUST NOT
     # enter the merge mean. None = all real (the single-meta path).
+    static_gates: tuple | None = None,  # plms.gate_runs RLE (trace-time
+    # gate resolution — no lax.cond in the step bodies)
 ) -> jnp.ndarray:
     s = sched.num_steps
     if mis_step is None:
         mis_step = int(s * mis_fraction)
     if mis_step == 0 or num_traj <= 1:
-        x, _, _ = plms_steps(global_model_fn, sched, x_init, 0, s)
+        x, _, _ = plms_steps(
+            global_model_fn, sched, x_init, 0, s, static_gates=static_gates
+        )
         return x
 
     b = x_init.shape[0]
@@ -57,7 +61,8 @@ def mis_sample(
 
     # Phase 1: one scan over the stacked batch
     x_stack, hist, n_hist = plms_steps(
-        traj_model_fn, sched, x_stack, 0, mis_step
+        traj_model_fn, sched, x_stack, 0, mis_step,
+        static_gates=static_gates,
     )
 
     xs = x_stack.reshape(num_traj, b, *x_init.shape[1:])
@@ -87,7 +92,7 @@ def mis_sample(
     hist0 = hist.reshape(3, num_traj, b, *x_init.shape[1:])[:, 0]
     x, _, _ = plms_steps(
         global_model_fn, sched, x, mis_step, s, hist=hist0, n_hist=n_hist,
-        assume_history=True,
+        assume_history=True, static_gates=static_gates,
     )
     return x
 

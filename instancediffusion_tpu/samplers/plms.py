@@ -139,6 +139,28 @@ def _e_t_prime(model_fn, x, e_t, hist, n_hist, coeffs, skip_order1=False):
     )
 
 
+def gate_runs(gates: np.ndarray, max_runs: int = 3) -> tuple | None:
+    """Run-length-encode a CONCRETE per-step gate array into
+    ((value, count), ...) — the static-gate signature for plms_steps.
+
+    Returns None when the schedule has more than `max_runs` distinct
+    consecutive values (e.g. a long linear-decay segment): each run costs
+    one extra compiled UNet instance in the sampler graph, so highly
+    fragmented schedules fall back to the traced-gate scan. The flagship
+    alpha_type [0.75, 0, 0.25] encodes as ((1.0, ceil(0.75*S)), (0.0, rest))."""
+    gates = np.asarray(gates)
+    runs = []
+    for g in gates:
+        g = float(g)
+        if runs and runs[-1][0] == g:
+            runs[-1][1] += 1
+        else:
+            runs.append([g, 1])
+    if len(runs) > max_runs:
+        return None
+    return tuple((g, n) for g, n in runs)
+
+
 def plms_steps(
     model_fn: ModelFn,
     sched: PLMSSchedule,
@@ -148,12 +170,24 @@ def plms_steps(
     hist: jnp.ndarray | None = None,
     n_hist: jnp.ndarray | int = 0,
     assume_history: bool = False,
+    static_gates: tuple | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run PLMS steps [start, stop) as a lax.scan.
 
     hist/n_hist allow resuming with existing eps history (MIS phase 2
     reuses trajectory-0 history across the merge, plms_instance.py:108-109).
     Returns (x, hist, n_hist).
+
+    static_gates: optional ((gate_value, run_length), ...) RLE of
+    sched.gates over the FULL schedule, known at trace time (see
+    gate_runs). When given, the scan is split into one segment per run and
+    the gate is passed to model_fn as a PYTHON float, so apply_unet
+    resolves its fuser branch statically — no lax.cond in the step body.
+    A gate-0 run compiles a fuser-free UNet (and the stock-SD first conv
+    swap becomes a static choice). Measured on the 5-step generate trace:
+    the runtime cond cost ~12 ms/step of branch glue + boundary copies at
+    B=16. Callers must pass an RLE consistent with the traced sched.gates;
+    the traced values are ignored for gating.
 
     Sampler state (x, eps history, schedule math) is float32 regardless of
     the model's compute dtype — model_fn is responsible for casting its
@@ -167,14 +201,27 @@ def plms_steps(
     n_hist = jnp.asarray(n_hist, jnp.int32)
     b = x.shape[0]
 
+    def static_gate_at(i: int):
+        """Python-float gate for step i, or None without static info."""
+        if static_gates is None:
+            return None
+        off = 0
+        for g, n in static_gates:
+            if i < off + n:
+                return g
+            off += n
+        raise IndexError(f"step {i} outside static_gates {static_gates}")
+
     def make_step_inputs(i):
+        g = static_gate_at(i)
         return (
             jnp.full((b,), sched.ts[i], jnp.int32),
             jnp.full((b,), sched.ts_next[i], jnp.int32),
             sched.a_t[i], sched.a_prev[i], sched.sqrt_one_minus_a_t[i],
-            sched.gates[i],
+            sched.gates[i] if g is None else g,
         )
 
+    have_hist = bool(assume_history)
     if peel_first and stop > start:
         # first step outside the scan: order-1 pseudo improved Euler with
         # its extra model call lives here, so the scan body below carries a
@@ -189,39 +236,73 @@ def plms_steps(
         hist = jnp.concatenate([hist[1:], e_t[None]], axis=0)
         n_hist = jnp.int32(1)
         start = start + 1
+        have_hist = True
         if start == stop:
             return x, hist, n_hist
 
-    arrays = jax.tree_util.tree_map(
-        lambda a: jnp.asarray(a[start:stop]),
-        (sched.ts, sched.ts_next, sched.a_t, sched.a_prev,
-         sched.sqrt_one_minus_a_t, sched.gates),
-    )
+    # segment [start, stop) by static gate runs (one scan per run); a
+    # single full-range segment with traced gates otherwise
+    if static_gates is not None:
+        segments = []
+        off = 0
+        for g, n in static_gates:
+            s0, s1 = max(start, off), min(stop, off + n)
+            if s1 > s0:
+                segments.append((s0, s1, g))
+            off += n
+        if off < stop:
+            raise ValueError(
+                f"static_gates {static_gates} cover {off} steps < stop={stop}"
+            )
+    else:
+        segments = [(start, stop, None)]
 
-    def step(carry, per_step):
+    def run_segment(carry, s0, s1, gate_static, skip1):
         x, hist, n_hist = carry
-        ts, ts_next, a_t, a_prev, sqrt_1m, gate = per_step
-        tb = jnp.full((b,), ts, jnp.int32)
-        fn = lambda xx, tt: model_fn(xx, tt, gate).astype(jnp.float32)
-        e_t = fn(x, tb)
-        coeffs = (tb, jnp.full((b,), ts_next, jnp.int32), a_t, a_prev, sqrt_1m)
-        e_prime = _e_t_prime(
-            fn, x, e_t, hist, n_hist, coeffs,
-            skip_order1=peel_first or assume_history,
+        arrays = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a[s0:s1]),
+            (sched.ts, sched.ts_next, sched.a_t, sched.a_prev,
+             sched.sqrt_one_minus_a_t, sched.gates),
         )
-        x = _x_prev(x, e_prime, a_t, a_prev, sqrt_1m)
-        hist = jnp.concatenate([hist[1:], e_t[None]], axis=0)
-        return (x, hist, jnp.minimum(n_hist + 1, 3)), None
 
-    (x, hist, n_hist), _ = jax.lax.scan(step, (x, hist, n_hist), arrays)
-    return x, hist, n_hist
+        def step(carry, per_step):
+            x, hist, n_hist = carry
+            ts, ts_next, a_t, a_prev, sqrt_1m, gate_traced = per_step
+            gate = gate_traced if gate_static is None else gate_static
+            tb = jnp.full((b,), ts, jnp.int32)
+            fn = lambda xx, tt: model_fn(xx, tt, gate).astype(jnp.float32)
+            e_t = fn(x, tb)
+            coeffs = (
+                tb, jnp.full((b,), ts_next, jnp.int32), a_t, a_prev, sqrt_1m
+            )
+            e_prime = _e_t_prime(
+                fn, x, e_t, hist, n_hist, coeffs, skip_order1=skip1
+            )
+            x = _x_prev(x, e_prime, a_t, a_prev, sqrt_1m)
+            hist = jnp.concatenate([hist[1:], e_t[None]], axis=0)
+            return (x, hist, jnp.minimum(n_hist + 1, 3)), None
+
+        carry, _ = jax.lax.scan(step, (x, hist, n_hist), arrays)
+        return carry
+
+    carry = (x, hist, n_hist)
+    for s0, s1, g in segments:
+        carry = run_segment(carry, s0, s1, g, skip1=have_hist)
+        have_hist = True
+    return carry
 
 
 def plms_sample(
-    model_fn: ModelFn, sched: PLMSSchedule, x_init: jnp.ndarray
+    model_fn: ModelFn,
+    sched: PLMSSchedule,
+    x_init: jnp.ndarray,
+    static_gates: tuple | None = None,
 ) -> jnp.ndarray:
     """Full PLMS sampling pass (plms.py:72-113). Jit the enclosing closure."""
-    x, _, _ = plms_steps(model_fn, sched, x_init, 0, sched.num_steps)
+    x, _, _ = plms_steps(
+        model_fn, sched, x_init, 0, sched.num_steps,
+        static_gates=static_gates,
+    )
     return x
 
 

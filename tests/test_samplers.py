@@ -227,3 +227,65 @@ def test_mis_crop_merge_matches_reference_slicing():
 
     got = np.asarray(merge(base, inst, jnp.asarray(boxes[0])))
     np.testing.assert_array_equal(got, expect)
+
+
+def test_static_gates_match_traced(schedules):
+    """plms_sample with a static gate RLE (trace-time gate resolution — no
+    lax.cond per step) must produce bitwise the same trajectory as the
+    traced-gate scan, including across the gate-on -> gate-off segment
+    boundary and the peeled first step."""
+    diff = make_diffusion_schedule("linear", 1000, 0.00085, 0.012)
+    # [0.75, 0, 0.25]: prefix of 1.0s then 0.0s — the flagship pattern
+    sched = jplms.make_plms_schedule(diff, S, [0.75, 0.0, 0.25])
+    rle = jplms.gate_runs(sched.gates)
+    assert rle is not None and len(rle) == 2, rle
+    assert rle[0][0] == 1.0 and rle[1][0] == 0.0
+    assert rle[0][1] + rle[1][1] == S
+
+    rng = np.random.RandomState(1)
+    x0 = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    fn = jax_model_fn(0.7)
+    traced = np.asarray(jplms.plms_sample(fn, sched, x0))
+    static = np.asarray(jplms.plms_sample(fn, sched, x0, static_gates=rle))
+    # not bitwise: the toy model's (1 + 0.05*gate) folds in f64 at trace
+    # time under a static gate (real-model gates multiply by exactly 0/1)
+    np.testing.assert_allclose(static, traced, rtol=1e-4, atol=1e-5)
+
+
+def test_static_gates_match_traced_mis(schedules):
+    """Same equivalence through the MIS two-phase path (merge + resumed
+    history)."""
+    diff = make_diffusion_schedule("linear", 1000, 0.00085, 0.012)
+    sched = jplms.make_plms_schedule(diff, S, [0.75, 0.0, 0.25])
+    rle = jplms.gate_runs(sched.gates)
+
+    rng = np.random.RandomState(2)
+    x0 = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    gfn = jax_model_fn(0.7)
+    tfn = jax_model_fn(0.3)
+    traced = np.asarray(
+        jmis.mis_sample(tfn, gfn, sched, x0, num_traj=3, mis_step=4)
+    )
+    static = np.asarray(
+        jmis.mis_sample(
+            tfn, gfn, sched, x0, num_traj=3, mis_step=4, static_gates=rle
+        )
+    )
+    np.testing.assert_allclose(static, traced, rtol=1e-4, atol=1e-5)
+
+
+def test_gate_runs_rle():
+    """Fragmented schedules (long decay segments) must fall back to the
+    traced path: every run is an extra compiled UNet instance."""
+    assert jplms.gate_runs(np.asarray([1.0, 1.0, 0.0])) == ((1.0, 2), (0.0, 1))
+    assert jplms.gate_runs(np.asarray([1.0] * 5)) == ((1.0, 5),)
+    # decay segment: 4 distinct consecutive values > max_runs=3
+    assert jplms.gate_runs(np.asarray([1.0, 0.7, 0.3, 0.0])) is None
+    # any returned RLE must reconstruct the gate array exactly
+    gates = jplms.make_plms_schedule(
+        make_diffusion_schedule("linear", 1000, 0.00085, 0.012), S, ALPHA_TYPE
+    ).gates
+    rle = jplms.gate_runs(gates)
+    if rle is not None:
+        flat = np.concatenate([np.full(n, g, np.float32) for g, n in rle])
+        np.testing.assert_array_equal(flat, gates)

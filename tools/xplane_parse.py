@@ -93,16 +93,35 @@ def parse_device_ops(path: str, line_name: bytes = b"XLA Ops"):
                     events.append(v)
             if lname != line_name:
                 continue
+            parsed = []
             for ev in events:
-                mid, dur = None, 0
+                mid, off, dur = None, 0, 0
                 for fn, wt, v in iter_fields(ev):
                     if fn == 1 and wt == 0:
                         mid = v
+                    elif fn == 2 and wt == 0:
+                        off = v
                     elif fn == 3 and wt == 0:
                         dur = v
-                a = agg[meta.get(mid, f"#{mid}")]
+                parsed.append((off, dur, meta.get(mid, f"#{mid}")))
+            # EXCLUSIVE (self) time: while/cond/call ops are emitted as
+            # events spanning their body ops on the SAME line, so naive
+            # duration sums double-count every nested region (a 5-step
+            # sampler trace read 2.2s "total" for ~1.2s of device time).
+            # Stack-walk the interval nesting: each event is charged its
+            # duration, and that duration is subtracted from its
+            # immediate parent's self time.
+            parsed.sort(key=lambda e: (e[0], -e[1]))
+            stack = []  # end_ps of currently-open intervals, with names
+            for off, dur, name in parsed:
+                while stack and stack[-1][0] <= off:
+                    stack.pop()
+                a = agg[name]
                 a[0] += 1
                 a[1] += dur
+                if stack:
+                    agg[stack[-1][1]][1] -= dur
+                stack.append((off + dur, name))
         return dict(agg)
     return {}
 
@@ -113,8 +132,9 @@ def group_key(op_name: str) -> str:
     return name.split(".")[0]
 
 
-def summarize(path: str, top: int = 40, iters: int | None = None):
-    ops = parse_device_ops(path)
+def summarize(path: str, top: int = 40, iters: int | None = None,
+              line: str = "XLA Ops"):
+    ops = parse_device_ops(path, line_name=line.encode())
     total_ps = sum(v[1] for v in ops.values())
     rows = sorted(ops.items(), key=lambda kv: -kv[1][1])
     fam = collections.defaultdict(lambda: [0, 0])
@@ -137,6 +157,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("path")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--line", default="XLA Ops",
+                    help='xplane line to aggregate, e.g. "XLA Modules" '
+                         "for per-executable totals")
     args = ap.parse_args()
     path = args.path
     if os.path.isdir(path):
@@ -145,7 +168,7 @@ def main():
             sys.exit(f"no xplane.pb under {path}")
         path = max(cands, key=os.path.getmtime)
         print("parsing:", path, file=sys.stderr)
-    print(summarize(path, args.top))
+    print(summarize(path, args.top, line=args.line))
 
 
 if __name__ == "__main__":
