@@ -271,14 +271,22 @@ class InstanceDiffusionPipeline:
             else:
                 z = plms_sample(global_fn, sched, x_init,
                                 static_gates=static_gates)
+            # decode in compute_dtype (bf16 by default, like every other
+            # matmul in the pipeline; fp32-range so no fp16-style VAE
+            # overflow, and the output is about to be quantized to 8 bits
+            # anyway — pass compute_dtype=jnp.float32 for exact reference
+            # decode numerics). Measured: fp32 decode was 246 ms per 8
+            # images on v5e (docs/traces/r3_gen), the only fp32 matmul
+            # family left in the generate path.
             img = vae.vae_decode(
-                vae_params, cfg.autoencoder, z.astype(jnp.float32)
+                vae_params, cfg.autoencoder, z.astype(compute_dtype)
             )
-            # quantize ON DEVICE: [-1,1] fp32 -> uint8, floor to match the
-            # reference's numpy-astype truncation (inference.py:174-176).
-            # Only ~6MB of uint8 crosses the remote link per 8 images
-            # instead of ~25MB fp32 + five host numpy passes.
-            img = jnp.clip(img, -1.0, 1.0) * 0.5 + 0.5
+            # quantize ON DEVICE: [-1,1] -> uint8 in fp32 math, floor to
+            # match the reference's numpy-astype truncation
+            # (inference.py:174-176). Only ~6MB of uint8 crosses the
+            # remote link per 8 images instead of ~25MB fp32 + five host
+            # numpy passes.
+            img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0) * 0.5 + 0.5
             return jnp.floor(img * 255.0).astype(jnp.uint8)
 
         return jax.jit(sample_fn)

@@ -131,9 +131,17 @@ def _e_t_prime(model_fn, x, e_t, hist, n_hist, coeffs, skip_order1=False):
         return (55 * e_t - 59 * hist[2] + 37 * hist[1] - 9 * hist[0]) / 24
 
     if skip_order1:
-        return jax.lax.switch(
-            jnp.minimum(n_hist, 3) - 1, [order2, order3, order4], None
-        )
+        # orders 2-4 are a few elementwise passes over eps-sized arrays
+        # (~µs): compute all three and select, instead of lax.switch —
+        # TPU conditionals copy operands in/out of branches and the
+        # dispatch measured ~10 ms/step at B=16 (docs/traces/r3_gen2),
+        # dwarfing the math it guarded
+        e4 = order4(None)
+        e3 = order3(None)
+        e2 = order2(None)
+        return jnp.where(n_hist >= 3, e4, jnp.where(n_hist == 2, e3, e2))
+    # order1 contains a second model call — branch for real here (only the
+    # peeled first step and no-history resumes ever trace this)
     return jax.lax.switch(
         jnp.minimum(n_hist, 3), [order1, order2, order3, order4], None
     )
