@@ -195,6 +195,9 @@ class TrainConfig:
     ema_rate: float = 0.9999
     enable_ema: bool = True
     gradient_checkpointing: bool = True
+    # ZeRO-1: shard AdamW moments + EMA over the 'data' mesh axis
+    # (parallel/zero.py). No-op on one chip; ~3.9GB/chip saved at N=8.
+    zero1: bool = True
     seed: int = 123
     workers: int = 4
     official_ckpt_name: str = "v1-5-pruned-emaonly.ckpt"

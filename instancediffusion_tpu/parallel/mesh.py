@@ -10,9 +10,11 @@ Replaces the reference's NCCL process-group data parallelism
   * eval sampling: same batch sharding over images (the reference's
     `--num_jobs` job splitting, eval_local.py:173-177, becomes sharded
     batched denoising)
-  * params are replicated; a "model" axis is reserved for future tensor
-    parallelism of the UNet's 1280-ch blocks (unused at SD1.5 scale — ICI
-    bandwidth is better spent on batch)
+  * params are replicated; AdamW moments + EMA are ZeRO-1-sharded over
+    'data' (parallel/zero.py — ~4.4GB of fp32 state becomes 4.4GB/N)
+  * a "model" axis is reserved for tensor parallelism of the UNet's
+    1280-ch blocks (unused at SD1.5 scale — ICI bandwidth is better spent
+    on batch)
 
 Multi-host: call jax.distributed.initialize() before mesh creation
 (equivalent of init_process_group, utils/dist.py:29-34).

@@ -87,9 +87,16 @@ class Trainer:
             )
             print(f"auto-resumed from {prev} at step {int(state.step)}")
 
-        self.state = jax.device_put(state, replicated(self.mesh))
+        # ZeRO-1 (parallel/zero.py): moments + EMA sharded over 'data',
+        # params replicated. Matching device_put / out_shardings keeps
+        # buffer donation alive and makes XLA update moments shard-locally.
+        from instancediffusion_tpu.parallel.zero import train_state_shardings
+
+        state_sh = train_state_shardings(self.mesh, state, zero1=tcfg.zero1)
+        self.state = jax.device_put(state, state_sh)
         self.train_step = jax.jit(
-            make_train_step(cfg, self.diffusion, self.tx), donate_argnums=(0,)
+            make_train_step(cfg, self.diffusion, self.tx),
+            donate_argnums=(0,), out_shardings=(state_sh, None),
         )
 
         # data
