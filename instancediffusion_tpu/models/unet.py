@@ -126,6 +126,22 @@ def _apply_res_block(p: Params, x, emb):
     return skip + h
 
 
+def _row_parallel_linear(p: Params, x):
+    """Final projection of attention / GEGLU-FF. Under tensor parallelism
+    (parallel/tp.py sets a 'model'-axis context inside its shard_map) the
+    weight rows are sharded, so the local matmul yields partial sums: psum
+    them over the model axis, THEN add the replicated bias (adding before
+    the psum would scale the bias by tp). Without a TP context this is
+    exactly nn.linear."""
+    from instancediffusion_tpu.parallel import tp
+
+    ax = tp.axis()
+    if ax is None:
+        return nn.linear(p, x)
+    y = jax.lax.psum(nn.linear({"w": p["w"]}, x), ax)
+    return y + p["b"].astype(y.dtype) if "b" in p else y
+
+
 def _init_mha(key, query_dim, kv_dim, inner_dim) -> Params:
     ks = jax.random.split(key, 4)
     return {
@@ -189,7 +205,7 @@ def _apply_mha(p: Params, x, kv, num_heads, mask=None, labels=None, impl="xla",
             q, k, v, num_heads, labels=labels, pre_scaled=True, kv_len=kv_len
         )
         wo = _pad_head_rows(p["to_out"]["w"], num_heads, c, cpad)
-        return nn.linear({"w": wo, "b": p["to_out"]["b"]}, out)
+        return _row_parallel_linear({"w": wo, "b": p["to_out"]["b"]}, out)
     pre_scaled = impl == "pallas"
     if pre_scaled:
         # fold 1/sqrt(c) into the (bias-free) to_q weight: saves the
@@ -204,7 +220,7 @@ def _apply_mha(p: Params, x, kv, num_heads, mask=None, labels=None, impl="xla",
         q, k, v, num_heads, mask=mask, labels=labels, impl=impl,
         pre_scaled=pre_scaled, kv_len=kv_len,
     )
-    return nn.linear(p["to_out"], out)
+    return _row_parallel_linear(p["to_out"], out)
 
 
 def _init_ff_geglu(key, dim, mult=4) -> Params:
@@ -217,6 +233,9 @@ def _init_ff_geglu(key, dim, mult=4) -> Params:
 
 
 def _apply_ff_geglu(p: Params, x):
+    from instancediffusion_tpu.parallel import tp
+
+    tp_ax = tp.axis()
     if x.dtype == jnp.bfloat16 and nn.fused_kernels_enabled():
         from instancediffusion_tpu.kernels.geglu_ff import (
             ff_fits, fused_ff_geglu,
@@ -226,14 +245,22 @@ def _apply_ff_geglu(p: Params, x):
         inner = p["out"]["w"].shape[0]
         if ff_fits(n, c, inner):
             # single-kernel FF: the (N, 2*inner) projection never leaves
-            # VMEM (kernels/geglu_ff.py)
+            # VMEM (kernels/geglu_ff.py). Under TP the kernel runs on the
+            # local column shard; the down-proj bias moves after the psum
+            # (the kernel would otherwise add it once per rank).
+            if tp_ax is not None:
+                y = fused_ff_geglu(
+                    x, p["proj"]["w"], p["proj"]["b"],
+                    p["out"]["w"], jnp.zeros_like(p["out"]["b"]),
+                )
+                return jax.lax.psum(y, tp_ax) + p["out"]["b"].astype(y.dtype)
             return fused_ff_geglu(
                 x, p["proj"]["w"], p["proj"]["b"],
                 p["out"]["w"], p["out"]["b"],
             )
     h = nn.linear(p["proj"], x)
     a, gate = jnp.split(h, 2, axis=-1)
-    return nn.linear(p["out"], a * nn.gelu(gate))
+    return _row_parallel_linear(p["out"], a * nn.gelu(gate))
 
 
 def _init_fuser(key, query_dim, context_dim) -> Params:

@@ -12,9 +12,11 @@ Replaces the reference's NCCL process-group data parallelism
     batched denoising)
   * params are replicated; AdamW moments + EMA are ZeRO-1-sharded over
     'data' (parallel/zero.py — ~4.4GB of fp32 state becomes 4.4GB/N)
-  * a "model" axis is reserved for tensor parallelism of the UNet's
-    1280-ch blocks (unused at SD1.5 scale — ICI bandwidth is better spent
-    on batch)
+  * the "model" axis carries tensor parallelism of the transformer stack
+    (parallel/tp.py: Megatron-style head/FF-column sharding via shard_map).
+    At SD1.5 scale DP alone is the right default (ICI bandwidth is better
+    spent on batch); TP is the lever for the larger family members
+    (SDXL-Refiner 2.6B+) and HBM-tight serving
 
 Multi-host: call jax.distributed.initialize() before mesh creation
 (equivalent of init_process_group, utils/dist.py:29-34).

@@ -1,0 +1,117 @@
+"""Tensor-parallel UNet forward (parallel/tp.py) vs the replicated forward.
+
+On the conftest's 8-device virtual CPU platform: a (data=4, model=2) mesh
+must reproduce the single-jit forward — heads/FF columns sharded over
+'model' with manual psums at the row-parallel projections, batch over
+'data'. Also pins the GEGLU column interleave in isolation (the one
+transform that would silently corrupt outputs if the layout assumption in
+models/unet._apply_ff_geglu changed)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from instancediffusion_tpu.models import unet, unifusion
+from instancediffusion_tpu.parallel.mesh import make_mesh
+from instancediffusion_tpu.parallel import tp
+from tests.test_parallel import micro_cfg
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+
+
+def _inputs(cfg, b=8, seed=3):
+    mcfg = cfg.model
+    r = np.random.RandomState(seed)
+    x = r.randn(b, mcfg.image_size, mcfg.image_size, mcfg.in_channels)
+    t = r.randint(0, 1000, (b,))
+    ctx = r.randn(b, 77, mcfg.context_dim)
+    g = unifusion.null_grounding(b, mcfg.max_objs, mcfg.grounding_tokenizer)
+    return (
+        jnp.asarray(x, jnp.float32), jnp.asarray(t, jnp.int32),
+        jnp.asarray(ctx, jnp.float32), g,
+    )
+
+
+def test_tp_forward_matches_replicated():
+    cfg = micro_cfg()
+    mcfg = cfg.model
+    params = unet.init_unet(jax.random.PRNGKey(0), mcfg)
+    x, t, ctx, g = _inputs(cfg)
+    objs, _ = unifusion.apply_unifusion(
+        params["position_net"], mcfg.grounding_tokenizer, g,
+        unifusion.ModalityDrops.test_defaults(mcfg.grounding_tokenizer),
+    )
+
+    ref = jax.jit(
+        lambda p, x, t, c, o: unet.apply_unet(
+            p, mcfg, x, t, c, None, gate_scale=1.0, precomputed_objs=o
+        )
+    )(params, x, t, ctx, objs)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    out = jax.jit(
+        lambda p, x, t, c, o: tp.tp_apply_unet(
+            mesh, mcfg, p, x, t, c, o, gate_scale=1.0
+        )
+    )(params, x, t, ctx, objs)
+
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_geglu_interleave_roundtrip():
+    """shuffle_ffn_params must reorder columns such that a contiguous
+    per-rank shard holds matched [a_r | gate_r] halves: simulate the
+    sharded compute by hand and compare against the unsharded GEGLU."""
+    r = np.random.RandomState(0)
+    d, inner, tp_size = 6, 8, 2
+    w1 = jnp.asarray(r.randn(d, 2 * inner), jnp.float32)
+    b1 = jnp.asarray(r.randn(2 * inner), jnp.float32)
+    w2 = jnp.asarray(r.randn(inner, d), jnp.float32)
+    b2 = jnp.asarray(r.randn(d), jnp.float32)
+    x = jnp.asarray(r.randn(3, d), jnp.float32)
+
+    gelu = jax.nn.gelu
+    h = x @ w1 + b1
+    a, gate = jnp.split(h, 2, axis=-1)
+    ref = (a * gelu(gate)) @ w2 + b2
+
+    fake = {"ff": {"proj": {"w": w1, "b": b1}, "out": {"w": w2, "b": b2}}}
+    shuf = tp.shuffle_ffn_params(fake, tp_size)
+    w1s, b1s = shuf["ff"]["proj"]["w"], shuf["ff"]["proj"]["b"]
+    acc = 0.0
+    width = 2 * inner // tp_size
+    for rank in range(tp_size):
+        wl = w1s[:, rank * width:(rank + 1) * width]
+        bl = b1s[rank * width:(rank + 1) * width]
+        hl = x @ wl + bl
+        al, gl = jnp.split(hl, 2, axis=-1)
+        w2l = w2[rank * (inner // tp_size):(rank + 1) * (inner // tp_size)]
+        acc = acc + (al * gelu(gl)) @ w2l
+    np.testing.assert_allclose(np.asarray(acc + b2), np.asarray(ref), rtol=1e-5)
+
+
+def test_param_specs_shapes():
+    cfg = micro_cfg().model
+    params = unet.init_unet(jax.random.PRNGKey(0), cfg)
+    specs = tp.param_specs(params)
+    flat_p = jax.tree_util.tree_leaves_with_path(params)
+    flat_s = dict(
+        (tp._path_str(path), s)
+        for path, s in jax.tree_util.tree_leaves_with_path(specs)
+    )
+    n_col = n_row = 0
+    for path, leaf in flat_p:
+        ps = tp._path_str(path)
+        s = flat_s[ps]
+        if s == jax.sharding.PartitionSpec(None, "model"):
+            n_col += 1
+            assert leaf.ndim == 2
+        elif s == jax.sharding.PartitionSpec("model"):
+            n_row += 1
+    assert n_col > 0 and n_row > 0
