@@ -96,6 +96,53 @@ def test_geglu_interleave_roundtrip():
     np.testing.assert_allclose(np.asarray(acc + b2), np.asarray(ref), rtol=1e-5)
 
 
+def test_tp_gradients_match_replicated():
+    """TP is differentiable as-is: shard_map transposes the forward psums
+    into the correct backward collectives, so a loss gradient through the
+    tensor-parallel forward must equal the replicated gradient (column/row
+    shards of it, gathered). Pins the property that makes TP usable for
+    training larger family members, not just serving."""
+    cfg = micro_cfg()
+    mcfg = cfg.model
+    params = unet.init_unet(jax.random.PRNGKey(0), mcfg)
+    x, t, ctx, g = _inputs(cfg, b=8, seed=5)
+    objs, _ = unifusion.apply_unifusion(
+        params["position_net"], mcfg.grounding_tokenizer, g,
+        unifusion.ModalityDrops.test_defaults(mcfg.grounding_tokenizer),
+    )
+    target = jnp.ones_like(x)
+
+    def loss_ref(p):
+        eps = unet.apply_unet(
+            p, mcfg, x, t, ctx, None, gate_scale=1.0, precomputed_objs=objs
+        )
+        return jnp.mean((eps - target) ** 2)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+
+    def loss_tp(p):
+        eps = tp.tp_apply_unet(mesh, mcfg, p, x, t, ctx, objs, gate_scale=1.0)
+        return jnp.mean((eps - target) ** 2)
+
+    g_ref = jax.jit(jax.grad(loss_ref))(params)
+    g_tp = jax.jit(jax.grad(loss_tp))(params)
+    # compare a few leaves spanning all sharding classes: column-parallel
+    # (to_q), row-parallel (to_out), GEGLU (interleave + row), replicated
+    # (conv); full-tree compare via max abs err
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_t = dict(
+        (tp._path_str(path), leaf)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(g_tp)
+    )
+    worst = 0.0
+    for path, leaf in flat_r:
+        other = flat_t[tp._path_str(path)]
+        err = float(jnp.max(jnp.abs(other - leaf)))
+        scale = float(jnp.max(jnp.abs(leaf))) + 1e-8
+        worst = max(worst, err / scale)
+    assert worst < 5e-5, f"worst relative grad err {worst}"
+
+
 def test_param_specs_shapes():
     cfg = micro_cfg().model
     params = unet.init_unet(jax.random.PRNGKey(0), cfg)
