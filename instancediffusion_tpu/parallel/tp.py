@@ -39,6 +39,7 @@ import dataclasses
 from contextlib import contextmanager
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 # ---------------------------------------------------------------------------
@@ -150,6 +151,7 @@ def tp_apply_unet(
     attn_impl: str = "auto",
     model_axis: str = "model",
     data_axis: str = "data",
+    pre_shuffled: bool = False,
 ):
     """apply_unet over a (data, model) mesh: batch sharded over `data_axis`,
     transformer heads/FF width sharded over `model_axis`.
@@ -168,24 +170,40 @@ def tp_apply_unet(
         f"num_heads={cfg.num_heads} not divisible by tp={tp_size}"
     )
     cfg_local = dataclasses.replace(cfg, num_heads=cfg.num_heads // tp_size)
-    params = shuffle_ffn_params(params, tp_size)
+    if not pre_shuffled:
+        # callers invoking this inside a sampling scan should shuffle ONCE
+        # outside the scan (pre_shuffled=True) — the shuffle is
+        # params-only, and XLA does not reliably hoist it out of loop
+        # bodies
+        params = shuffle_ffn_params(params, tp_size)
 
     pspecs = param_specs(params, model_axis)
     d = P(data_axis)
     mask_specs = jax.tree_util.tree_map(lambda _: d, fuser_mask)
 
-    def body(p, x, t, ctx, objs, fmask):
+    # a traced gate (the >3-run alpha-schedule fallback) cannot be closed
+    # over by the shard_map body — pass it as a replicated argument; a
+    # Python-float gate stays a closure constant so apply_unet resolves
+    # the fuser branch at trace time (the static-gate fast path)
+    static_gate = isinstance(gate_scale, (int, float))
+
+    def body(p, x, t, ctx, objs, fmask, gate):
         with tp_context(model_axis):
             return unet.apply_unet(
-                p, cfg_local, x, t, ctx, None, gate_scale=gate_scale,
+                p, cfg_local, x, t, ctx, None,
+                gate_scale=gate_scale if static_gate else gate[0],
                 fuser_mask=fmask, precomputed_objs=objs, attn_impl=attn_impl,
             )
 
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(pspecs, d, d, d, d, mask_specs),
+        in_specs=(pspecs, d, d, d, d, mask_specs, P()),
         out_specs=d,
         check_rep=False,
     )
-    return fn(params, x, timesteps, context, objs, fuser_mask)
+    gate_arg = (
+        jnp.zeros((1,), jnp.float32) if static_gate
+        else jnp.asarray(gate_scale, jnp.float32).reshape(1)
+    )
+    return fn(params, x, timesteps, context, objs, fuser_mask, gate_arg)

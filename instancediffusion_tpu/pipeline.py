@@ -174,10 +174,30 @@ class InstanceDiffusionPipeline:
 
     def _make_sample_fn(self, gs: float, num_traj: int, mis_step: int,
                         static_gates: tuple | None = None,
+                        tp_mesh=None,
                         compute_dtype=jnp.bfloat16):
         cfg = self.cfg
         gcfg = cfg.model.grounding_tokenizer
         drops = unifusion.ModalityDrops.test_defaults(gcfg)
+
+        # tensor-parallel serving (parallel/tp.py): heads/FF columns shard
+        # over tp_mesh's 'model' axis inside the sampling scan; the GEGLU
+        # column interleave is applied once per conditioning, outside the
+        # scan. None = plain single-program forward.
+        if tp_mesh is not None:
+            from instancediffusion_tpu.parallel import tp as tp_mod
+            tp_size = tp_mesh.shape.get("model", 1)
+
+        def unet_fwd(unet_params, x, t, ctx, objs, gate, labels):
+            if tp_mesh is None:
+                return unet.apply_unet(
+                    unet_params, cfg.model, x, t, ctx, None, gate_scale=gate,
+                    precomputed_objs=objs, fuser_mask=labels,
+                )
+            return tp_mod.tp_apply_unet(
+                tp_mesh, cfg.model, unet_params, x, t, ctx, objs,
+                gate_scale=gate, fuser_mask=labels, pre_shuffled=True,
+            )
 
         # instance attention masking (reference use_masked_att; the mask is
         # built from box rasters, utils/input.py:34-37 + attention.py:187-255)
@@ -208,15 +228,16 @@ class InstanceDiffusionPipeline:
             objs_c, _ = unifusion.apply_unifusion(
                 unet_params["position_net"], gcfg, grounding, drops
             )
+            if tp_mesh is not None:
+                unet_params = tp_mod.shuffle_ffn_params(unet_params, tp_size)
             if uc is None or gs == 1:
                 ctx = context
                 labels = build_labels(grounding) if masking else None
 
                 def model_fn(x, t, gate):
-                    return unet.apply_unet(
-                        unet_params, cfg.model, x.astype(compute_dtype), t,
-                        ctx, None, gate_scale=gate, precomputed_objs=objs_c,
-                        fuser_mask=labels,
+                    return unet_fwd(
+                        unet_params, x.astype(compute_dtype), t, ctx, objs_c,
+                        gate, labels,
                     )
 
                 return model_fn
@@ -242,10 +263,9 @@ class InstanceDiffusionPipeline:
             def model_fn(x, t, gate):
                 x2 = jnp.concatenate([x, x], axis=0)
                 t2 = jnp.concatenate([t, t], axis=0)
-                eps2 = unet.apply_unet(
-                    unet_params, cfg.model, x2.astype(compute_dtype), t2,
-                    ctx2, None, gate_scale=gate, precomputed_objs=objs2,
-                    fuser_mask=labels2,
+                eps2 = unet_fwd(
+                    unet_params, x2.astype(compute_dtype), t2, ctx2, objs2,
+                    gate, labels2,
                 )
                 e_cond, e_uncond = jnp.split(eps2, 2, axis=0)
                 return e_uncond + gs * (e_cond - e_uncond)
@@ -573,8 +593,13 @@ class InstanceDiffusionPipeline:
                 )
             x_init = jax.device_put(x_init, dsh)
 
+        tp_mesh = (
+            mesh
+            if mesh is not None and mesh.shape.get("model", 1) > 1
+            else None
+        )
         sample_fn = self._get_sample_fn(
-            (gs, num_traj, mis_step, gate_runs(sched.gates))
+            (gs, num_traj, mis_step, gate_runs(sched.gates), tp_mesh)
         )
         images = sample_fn(unet_p, vae_p, sched, cond, x_init)
         return np.asarray(images)[:n_meta]  # uint8, quantized on device

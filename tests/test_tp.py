@@ -96,6 +96,7 @@ def test_geglu_interleave_roundtrip():
     np.testing.assert_allclose(np.asarray(acc + b2), np.asarray(ref), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_tp_gradients_match_replicated():
     """TP is differentiable as-is: shard_map transposes the forward psums
     into the correct backward collectives, so a loss gradient through the
@@ -162,3 +163,47 @@ def test_param_specs_shapes():
         elif s == jax.sharding.PartitionSpec("model"):
             n_row += 1
     assert n_col > 0 and n_row > 0
+
+
+@pytest.mark.slow
+def test_pipeline_generate_batch_tp():
+    """Serving-surface TP: generate_batch on a (4 data x 2 model) mesh must
+    reproduce the plain data-sharded images (same seeds). uint8 outputs may
+    differ by 1 at quantization boundaries under psum reordering."""
+    import instancediffusion_tpu.data.grounding_input as gi
+    from instancediffusion_tpu.pipeline import InstanceDiffusionPipeline
+    from tests.test_pipeline import tiny_config
+
+    cfg = tiny_config()
+    pipe = InstanceDiffusionPipeline.random_init(cfg, seed=0)
+    g = cfg.model.grounding_tokenizer
+    metas = [
+        {
+            "prompt": "a red box and a blue box",
+            "phrases": ["a red box", "a blue box"],
+            "locations": [[0.1, 0.1, 0.4, 0.4], [0.6, 0.6, 0.9, 0.9]],
+        },
+        {
+            "prompt": "one green circle",
+            "phrases": ["a green circle"],
+            "locations": [[0.3, 0.3, 0.7, 0.7]],
+        },
+    ]
+    # tiny config has shorter scribble/polygon/seg dims (test_pipeline's
+    # established pattern): point the prep constants at the tiny geometry
+    old = (gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE)
+    gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = (
+        g.n_scribble_points, g.n_polygon_points, g.seg_resize_input,
+    )
+    try:
+        kw = dict(steps=2, seeds=[3, 4], compute_dtype=jnp.float32)
+        ref = pipe.generate_batch(metas, mesh=make_mesh(n_data=8), **kw)
+        out = pipe.generate_batch(
+            metas, mesh=make_mesh(n_data=4, n_model=2), **kw
+        )
+    finally:
+        gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = old
+    assert out.shape == ref.shape
+    diff = np.abs(out.astype(np.int16) - ref.astype(np.int16))
+    assert (diff <= 1).mean() > 0.9999, f"large pixel diffs: {(diff > 1).mean():.2%}"
+    assert (diff == 0).mean() > 0.99, f"only {(diff == 0).mean():.2%} exact"

@@ -71,6 +71,7 @@ def _run_step(cfg, diffusion, batch, state0, zero1):
     return float(metrics["loss"]), trained, new_state
 
 
+@pytest.mark.slow
 def test_zero1_matches_replicated():
     from instancediffusion_tpu.ops.schedules import make_diffusion_schedule
     from instancediffusion_tpu.train.train_step import init_train_state
