@@ -175,6 +175,16 @@ def _pad_head_rows(w, num_heads: int, c: int, cpad: int):
 # parity test) because the layout wins whenever head_c >= 64 natively.
 PACKED64 = False
 
+# Fused projection + in-kernel head split/merge for the ds1 (head_c=40)
+# inference path: kills the (B,H,N,40) layout copies XLA materializes
+# around the flash kernels (~6.4 ms/fwd at B=8, docs/traces/r3b) by doing
+# the 40-channel head shuffle on one VMEM tile at a time inside the
+# projection kernels (kernels/head_layout.py). Unlike PACKED64 this adds
+# ZERO projection FLOPs — the dots stay full-width. Default OFF until the
+# Mosaic-compiled variants are measured on a real chip (tools/fwd_bench.py
+# --fused-proj); interpret-mode parity is pinned in tests/test_head_layout.py.
+FUSED_PROJ = False
+
 
 def _apply_mha(p: Params, x, kv, num_heads, mask=None, labels=None, impl="xla",
                kv_len=None):
@@ -182,6 +192,30 @@ def _apply_mha(p: Params, x, kv, num_heads, mask=None, labels=None, impl="xla",
     c = inner // num_heads
     n, m = x.shape[1], kv.shape[1]
     big = (n >= 1024 and m >= 512) or labels is not None
+    from instancediffusion_tpu.parallel import tp
+
+    if (FUSED_PROJ and not PACKED64 and impl == "pallas" and big
+            and mask is None and c < 64 and tp.axis() is None):
+        from instancediffusion_tpu.kernels.flash_attention import (
+            flash_attention,
+        )
+        from instancediffusion_tpu.kernels.head_layout import (
+            merge_proj, proj_split,
+        )
+
+        from instancediffusion_tpu.kernels import head_layout
+
+        (q,) = proj_split(x, (p["to_q"]["w"] * (c ** -0.5),), num_heads,
+                          variant=head_layout.SPLIT_VARIANT)
+        k, v = proj_split(kv, (p["to_k"]["w"], p["to_v"]["w"]), num_heads,
+                          variant=head_layout.SPLIT_VARIANT)
+        out = flash_attention(
+            q, k, v, labels=labels, pre_scaled=True,
+            kv_len=m if kv_len is None else kv_len,
+        )
+        merged = merge_proj(out, p["to_out"]["w"], p["to_out"]["b"],
+                            variant=head_layout.MERGE_VARIANT)
+        return merged[:, :n]
     if PACKED64 and impl == "pallas" and big and mask is None and c < 64:
         # ds1 (head_c=40) packed-64 path: pad every head to 64 channels BY
         # PADDING THE PROJECTION WEIGHTS — the matmuls then emit the packed

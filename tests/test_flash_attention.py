@@ -222,6 +222,16 @@ def test_fuser_born_aligned_kv_matches_xla(monkeypatch):
         functools.partial(fa_mod.flash_attention, block_q=256, block_k=256,
                           interpret=True),
     )
+    import instancediffusion_tpu.kernels.head_layout as hl_mod
+
+    monkeypatch.setattr(
+        hl_mod, "proj_split",
+        functools.partial(hl_mod.proj_split, interpret=True),
+    )
+    monkeypatch.setattr(
+        hl_mod, "merge_proj",
+        functools.partial(hl_mod.merge_proj, interpret=True),
+    )
     got = _apply_fuser(p, x, objs, 8, 1.0, None, impl="pallas")
     assert got.shape == ref.shape == (b, n, inner)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),

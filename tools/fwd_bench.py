@@ -22,6 +22,12 @@ def main():
     if "--packed64" in sys.argv:
         unet.PACKED64 = True
         tag = "packed64"
+    elif "--fused-proj" in sys.argv:
+        from instancediffusion_tpu.kernels import head_layout
+
+        unet.FUSED_PROJ = True
+        tag = (f"fused-proj (split={head_layout.SPLIT_VARIANT}, "
+               f"merge={head_layout.MERGE_VARIANT})")
     else:
         tag = "split-heads (default)"
 
