@@ -61,6 +61,43 @@ def test_merge_proj_matches_xla(variant, with_bias):
     )
 
 
+def test_apply_mha_fused_proj_matches_xla(monkeypatch):
+    """models/unet._apply_mha with FUSED_PROJ on (interpret kernels) ==
+    the plain XLA path — the exact branch the TPU inference path takes."""
+    import functools
+
+    import jax
+
+    import instancediffusion_tpu.kernels.flash_attention as fa_mod
+    import instancediffusion_tpu.kernels.head_layout as hl_mod
+    import instancediffusion_tpu.models.unet as unet_mod
+
+    monkeypatch.setattr(unet_mod, "FUSED_PROJ", True)
+    monkeypatch.setattr(
+        fa_mod, "flash_attention",
+        functools.partial(fa_mod.flash_attention, block_q=256, block_k=256,
+                          interpret=True),
+    )
+    monkeypatch.setattr(
+        hl_mod, "proj_split",
+        functools.partial(hl_mod.proj_split, block_n=256, interpret=True),
+    )
+    monkeypatch.setattr(
+        hl_mod, "merge_proj",
+        functools.partial(hl_mod.merge_proj, block_n=256, interpret=True),
+    )
+    b, n, h, c = 1, 1024, 4, 40
+    inner = h * c
+    p = unet_mod._init_mha(jax.random.PRNGKey(0), inner, inner, inner)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, n, inner), jnp.float32)
+
+    ref = unet_mod._apply_mha(p, x, x, h, impl="xla")
+    got = unet_mod._apply_mha(p, x, x, h, impl="pallas")
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_roundtrip_attention_parity():
     """proj_split -> flash_attention -> merge_proj == the existing unfused
     path (the exact integration the ds1 pallas branch uses)."""
