@@ -18,7 +18,36 @@ import time
 import numpy as np
 
 
+def _device_sanity(timeout_s: int = 180):
+    """Fail fast (with a diagnosis) if the device link is dead instead of
+    hanging until an external kill. Observed 2026-08-17: the axon tunnel
+    went down mid-session and even a (256,256) matmul blocked forever —
+    a silent hang here would burn the whole driver budget with zero
+    output."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        ok.append(float(jax.jit(lambda a: a.sum())(jnp.ones((8, 8)))))
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not ok:
+        print(
+            f"bench: device unreachable within {timeout_s}s "
+            "(axon tunnel down?) — aborting instead of hanging",
+            file=sys.stderr, flush=True,
+        )
+        sys.exit(3)
+
+
 def main():
+    _device_sanity()
     import jax
 
     from instancediffusion_tpu.config import Config, apply_test_preset
