@@ -33,12 +33,28 @@ Params = dict[str, Any]
 def to_numpy_state_dict(sd: Mapping[str, Any]) -> dict[str, np.ndarray]:
     out = {}
     for k, v in sd.items():
-        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        if hasattr(v, "detach"):
+            v = v.detach().cpu()
+            # numpy has no bfloat16: upcast (the jax side re-casts to the
+            # model's param dtype anyway)
+            if str(v.dtype) == "torch.bfloat16":
+                v = v.float()
+            out[k] = v.numpy()
+        else:
+            out[k] = np.asarray(v)
     return out
 
 
 def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
-    """Read a .pth/.ckpt with torch (CPU) and return numpy arrays."""
+    """Read a .pth/.ckpt (torch pickle) or .safetensors checkpoint and
+    return numpy arrays. HF distributes SD1.5 / SDXL-refiner weights as
+    .safetensors today; the reference's torch.load covers only the pickle
+    form (utils/checkpoint.py:13)."""
+    if path.endswith(".safetensors"):
+        from safetensors import torch as safetorch
+
+        raw = safetorch.load_file(path)
+        return to_numpy_state_dict(raw)
     import torch
 
     raw = torch.load(path, map_location="cpu", weights_only=False)
