@@ -168,6 +168,10 @@ class SamplerConfig:
     num_images: int = 8
     seed: int = 0
     cascade_strength: float = 0.0  # SDXL refiner not bundled; keep the knob
+    # 'plms' = reference protocol (inference.py:60-63); 'dpm' =
+    # DPM-Solver++(2M) fast serving (~20 steps ~= 50-step PLMS quality);
+    # 'ddim' = eta-0 ablation baseline
+    sampler: str = "plms"
 
 
 @dataclass

@@ -130,6 +130,11 @@ def main(argv=None):
                    help="modality preset (the reference's test_*.yaml)")
     p.add_argument("--use_masks", action="store_true",
                    help="honor demo JSON RLE masks (reference zeroes them)")
+    p.add_argument("--sampler", type=str, default="plms",
+                   choices=["plms", "dpm", "ddim"],
+                   help="plms = reference protocol; dpm = DPM-Solver++(2M) "
+                        "fast serving (use --steps 20 --mis 0); ddim = "
+                        "eta-0 baseline")
     args = p.parse_args(argv)
 
     from instancediffusion_tpu.pipeline import InstanceDiffusionPipeline
@@ -155,6 +160,7 @@ def main(argv=None):
         mis=args.mis,
         seed=args.seed,
         negative_prompt=args.negative_prompt,
+        sampler=args.sampler,
     )
 
     folder = os.path.join(

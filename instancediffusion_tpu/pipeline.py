@@ -27,6 +27,8 @@ from instancediffusion_tpu.data.grounding_input import (
 )
 from instancediffusion_tpu.models import clip_text, unet, unifusion, vae
 from instancediffusion_tpu.ops.schedules import make_diffusion_schedule
+from instancediffusion_tpu.samplers import ddim as ddim_mod
+from instancediffusion_tpu.samplers import dpm as dpm_mod
 from instancediffusion_tpu.samplers import mis as mis_mod
 from instancediffusion_tpu.samplers.plms import (
     gate_runs, make_plms_schedule, plms_sample,
@@ -175,7 +177,8 @@ class InstanceDiffusionPipeline:
     def _make_sample_fn(self, gs: float, num_traj: int, mis_step: int,
                         static_gates: tuple | None = None,
                         tp_mesh=None,
-                        compute_dtype=jnp.bfloat16):
+                        compute_dtype=jnp.bfloat16,
+                        sampler: str = "plms"):
         cfg = self.cfg
         gcfg = cfg.model.grounding_tokenizer
         drops = unifusion.ModalityDrops.test_defaults(gcfg)
@@ -288,6 +291,14 @@ class InstanceDiffusionPipeline:
                     traj_weights=cond.get("traj_weights"),
                     static_gates=static_gates,
                 )
+            elif sampler == "dpm":
+                # DPM-Solver++(2M) serving fast path (samplers/dpm.py):
+                # same UNet/CFG/gate semantics, ~2.5x fewer steps for
+                # comparable quality — NOT the reference eval protocol
+                z = dpm_mod.dpm_sample(global_fn, sched, x_init,
+                                       static_gates=static_gates)
+            elif sampler == "ddim":
+                z = ddim_mod.ddim_sample(global_fn, sched, x_init)
             else:
                 z = plms_sample(global_fn, sched, x_init,
                                 static_gates=static_gates)
@@ -313,6 +324,18 @@ class InstanceDiffusionPipeline:
 
     _sample_cache: dict = None
 
+    def _make_schedule(self, sampler: str, steps: int, alpha_type):
+        if sampler == "dpm":
+            return dpm_mod.make_dpm_schedule(self.diffusion, steps, alpha_type)
+        if sampler == "ddim":
+            return ddim_mod.make_ddim_schedule(self.diffusion, steps, alpha_type)
+        if sampler == "plms":
+            return make_plms_schedule(self.diffusion, steps, alpha_type)
+        raise ValueError(
+            f"unknown sampler {sampler!r} — expected 'plms' (reference "
+            "protocol), 'dpm' (DPM-Solver++(2M) fast serving), or 'ddim'"
+        )
+
     def _get_sample_fn(self, key):
         if self._sample_cache is None:
             self._sample_cache = {}
@@ -331,9 +354,15 @@ class InstanceDiffusionPipeline:
         seed: int | None = None,
         negative_prompt: str | None = None,
         compute_dtype=jnp.bfloat16,
+        sampler: str | None = None,
     ) -> np.ndarray:
         """meta: demo dict with prompt/phrases/locations[/points/scribbles/
-        polygons/segs]. Returns (num_images, 512, 512, 3) uint8."""
+        polygons/segs]. Returns (num_images, 512, 512, 3) uint8.
+
+        sampler: 'plms' (default — the reference protocol), 'dpm'
+        (DPM-Solver++(2M): ~2.5x fewer steps for comparable quality; pass
+        steps=20), or 'ddim'. MIS is a PLMS construction
+        (plms_instance.py) — non-plms samplers require mis == 0."""
         scfg = self.cfg.sampler
         num_images = num_images or scfg.num_images
         steps = steps or scfg.steps
@@ -342,10 +371,16 @@ class InstanceDiffusionPipeline:
         mis = scfg.mis if mis is None else mis
         seed = scfg.seed if seed is None else seed
         neg = scfg.negative_prompt if negative_prompt is None else negative_prompt
+        sampler = scfg.sampler if sampler is None else sampler
+        if sampler != "plms" and mis > 0:
+            raise ValueError(
+                f"sampler={sampler!r} does not support MIS (a PLMS "
+                "trajectory construction) — pass mis=0.0"
+            )
         mcfg = self.cfg.model
         alpha_type = meta.get("alpha_type", [alpha, 0.0, 1 - alpha])
 
-        sched = make_plms_schedule(self.diffusion, steps, alpha_type)
+        sched = self._make_schedule(sampler, steps, alpha_type)
 
         # text conditioning
         context = self.encode_prompt([meta["prompt"]] * num_images)
@@ -402,8 +437,10 @@ class InstanceDiffusionPipeline:
                 num_traj * num_images, mcfg.max_objs, mcfg.grounding_tokenizer
             )
 
+        static_gates = None if sampler == "ddim" else gate_runs(sched.gates)
         sample_fn = self._get_sample_fn(
-            (gs, num_traj, mis_step, gate_runs(sched.gates))
+            (gs, num_traj, mis_step, static_gates, None, compute_dtype,
+             sampler)
         )
         images = sample_fn(
             self.params.unet, self.params.vae, sched, cond, x_init
@@ -425,6 +462,7 @@ class InstanceDiffusionPipeline:
         mesh=None,
         mis: float | None = None,
         compute_dtype=jnp.bfloat16,
+        sampler: str | None = None,
     ) -> np.ndarray:
         """ONE image per meta, all metas stacked on the batch axis of a
         single sampling program — the grounding tensors are fixed-shape
@@ -449,6 +487,12 @@ class InstanceDiffusionPipeline:
         gs = scfg.guidance_scale if guidance_scale is None else guidance_scale
         alpha = scfg.alpha if alpha is None else alpha
         neg = scfg.negative_prompt if negative_prompt is None else negative_prompt
+        sampler = scfg.sampler if sampler is None else sampler
+        if sampler != "plms" and mis > 0:
+            raise ValueError(
+                f"sampler={sampler!r} does not support MIS (a PLMS "
+                "trajectory construction) — pass mis=0.0"
+            )
         mcfg = self.cfg.model
         n_meta = len(metas)
         if n_meta == 0:
@@ -463,8 +507,8 @@ class InstanceDiffusionPipeline:
         metas = metas + [metas[-1]] * (b - n_meta)
         seeds = list(seeds) + [seeds[-1]] * (b - n_meta)
 
-        sched = make_plms_schedule(
-            self.diffusion, steps, [alpha, 0.0, 1.0 - alpha]
+        sched = self._make_schedule(
+            sampler, steps, [alpha, 0.0, 1.0 - alpha]
         )
 
         context = self.encode_prompt([m["prompt"] for m in metas])
@@ -598,8 +642,10 @@ class InstanceDiffusionPipeline:
             if mesh is not None and mesh.shape.get("model", 1) > 1
             else None
         )
+        static_gates = None if sampler == "ddim" else gate_runs(sched.gates)
         sample_fn = self._get_sample_fn(
-            (gs, num_traj, mis_step, gate_runs(sched.gates), tp_mesh)
+            (gs, num_traj, mis_step, static_gates, tp_mesh, compute_dtype,
+             sampler)
         )
         images = sample_fn(unet_p, vae_p, sched, cond, x_init)
         return np.asarray(images)[:n_meta]  # uint8, quantized on device
