@@ -149,6 +149,7 @@ def run_coco_eval(
     seed: int = 0,
     batch_size: int = 8,
     mesh=None,
+    sampler: str | None = None,
 ):
     """Generate one 512x512 image per COCO val image under its COCO
     file name (eval_local.py run(), :22-99).
@@ -198,7 +199,7 @@ def run_coco_eval(
         imgs = pipe.generate_batch(
             [m for _, m in chunk], steps=steps, guidance_scale=guidance_scale,
             alpha=alpha, seeds=[seed + img_id for img_id, _ in chunk],
-            mesh=mesh, mis=mis,
+            mesh=mesh, mis=mis, sampler=sampler,
         )
         for (_, meta), img in zip(chunk, imgs):
             Image.fromarray(img).save(os.path.join(out_dir, meta["file_name"]))
@@ -229,6 +230,10 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--mesh", action="store_true",
                    help="shard the eval batch over all local devices")
+    p.add_argument("--sampler", type=str, default="plms",
+                   choices=["plms", "dpm", "ddim"],
+                   help="plms = the reference eval protocol; dpm = "
+                        "DPM-Solver++(2M) fast serving (requires --mis 0)")
     args = p.parse_args(argv)
 
     from instancediffusion_tpu.config import Config, apply_test_preset
@@ -255,7 +260,7 @@ def main(argv=None):
         job_index=args.job_index, limit=args.limit, steps=args.steps,
         guidance_scale=args.guidance_scale, alpha=args.alpha, mis=args.mis,
         attribute_mode=attribute_mode, seed=args.seed,
-        batch_size=args.batch_size, mesh=mesh,
+        batch_size=args.batch_size, mesh=mesh, sampler=args.sampler,
     )
     print(f"generated {n} images in {args.save_dir}")
 
