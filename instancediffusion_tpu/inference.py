@@ -130,6 +130,10 @@ def main(argv=None):
                    help="modality preset (the reference's test_*.yaml)")
     p.add_argument("--use_masks", action="store_true",
                    help="honor demo JSON RLE masks (reference zeroes them)")
+    p.add_argument("--lora", type=str, default=None,
+                   help="LoRA checkpoint (kohya/diffusers .safetensors) "
+                        "merged into the SD1.5 backbone at load time")
+    p.add_argument("--lora_scale", type=float, default=1.0)
     p.add_argument("--sampler", type=str, default="plms",
                    choices=["plms", "dpm", "ddim"],
                    help="plms = reference protocol; dpm = DPM-Solver++(2M) "
@@ -146,6 +150,13 @@ def main(argv=None):
         if args.ckpt:
             print(f"warning: checkpoint {args.ckpt} not found; random init")
         pipe = InstanceDiffusionPipeline.random_init(cfg, seed=args.seed)
+
+    if args.lora:
+        stats = pipe.load_lora(args.lora, scale=args.lora_scale)
+        print(f"lora: merged {stats['applied_unet']} unet + "
+              f"{stats['applied_te']} text-encoder modules"
+              + (f", {len(stats['unknown'])} unknown keys"
+                 if stats["unknown"] else ""))
 
     meta = parse_demo_json(args.input_json, use_masks=args.use_masks,
                            rng=np.random.default_rng(args.seed))

@@ -125,6 +125,24 @@ class InstanceDiffusionPipeline:
         params = ckpt_io.load_pipeline_params(path, cfg)
         return cls(cfg, params)
 
+    def load_lora(self, path: str, scale: float = 1.0,
+                  include_text_encoder: bool = True) -> dict:
+        """Merge a community SD1.5 LoRA (kohya / diffusers-PEFT formats)
+        into the frozen backbone weights (io/lora.py). Merged at load time
+        — zero serving overhead, composes with instance conditioning.
+        Returns merge stats; raises on base-model shape mismatch."""
+        from instancediffusion_tpu.io import lora as lora_io
+
+        sd = lora_io.load_lora_file(path)
+        stats = lora_io.merge_lora(
+            self.params.unet, sd, scale=scale,
+            clip_params=self.params.clip if include_text_encoder else None,
+        )
+        # params were mutated in place: drop mesh-replicated copies keyed
+        # by object identity so generate_batch(mesh=...) re-replicates
+        self._replicated_params = None
+        return stats
+
     # -- text ---------------------------------------------------------------
 
     _warned_fallback = False
