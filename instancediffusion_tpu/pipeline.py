@@ -196,7 +196,8 @@ class InstanceDiffusionPipeline:
                         static_gates: tuple | None = None,
                         tp_mesh=None,
                         compute_dtype=jnp.bfloat16,
-                        sampler: str = "plms"):
+                        sampler: str = "plms",
+                        img2img_start: int | None = None):
         cfg = self.cfg
         gcfg = cfg.model.grounding_tokenizer
         drops = unifusion.ModalityDrops.test_defaults(gcfg)
@@ -298,7 +299,28 @@ class InstanceDiffusionPipeline:
                 unet_params, cond["context"], cond["uc"], cond["grounding"],
                 cond["null_g"],
             )
-            if num_traj > 1 and mis_step > 0:
+            if img2img_start is not None:
+                # x_init is the INPUT IMAGE (B,H,W,3) in [-1,1]: encode,
+                # forward-noise to the start step's DDIM alpha, resume the
+                # PLMS schedule mid-way (the diffusers img2img recipe; the
+                # refiner family does the same via schedule slicing,
+                # pipeline_refiner._slice_schedule)
+                enc_rng, noise_rng = cond["i2i_rng"]
+                z0 = vae.vae_encode(
+                    vae_params, cfg.autoencoder,
+                    x_init.astype(compute_dtype), enc_rng,
+                ).astype(jnp.float32)
+                a0 = sched.a_t[img2img_start]
+                x = (jnp.sqrt(a0) * z0
+                     + jnp.sqrt(1.0 - a0)
+                     * jax.random.normal(noise_rng, z0.shape, jnp.float32))
+                from instancediffusion_tpu.samplers.plms import plms_steps
+
+                z, _, _ = plms_steps(
+                    global_fn, sched, x, img2img_start, sched.num_steps,
+                    static_gates=static_gates,
+                )
+            elif num_traj > 1 and mis_step > 0:
                 traj_fn = make_cfg_fn(
                     unet_params, cond["ctx_stack"], cond["uc_stack"],
                     cond["g_stack"], cond["null_stack"],
@@ -464,6 +486,87 @@ class InstanceDiffusionPipeline:
             self.params.unet, self.params.vae, sched, cond, x_init
         )
         return np.asarray(images)  # uint8, quantized on device
+
+    def img2img(
+        self,
+        image: np.ndarray,
+        meta: dict,
+        strength: float = 0.5,
+        num_images: int | None = None,
+        steps: int | None = None,
+        guidance_scale: float | None = None,
+        alpha: float | None = None,
+        seed: int | None = None,
+        negative_prompt: str | None = None,
+        compute_dtype=jnp.bfloat16,
+    ) -> np.ndarray:
+        """Instance-conditioned image editing: noise the input image to
+        `strength` of the schedule and denoise the rest under the meta's
+        prompt + per-instance conditioning. PLMS only (the reference's
+        sampler); everything (VAE encode, q_sample, resumed PLMS scan,
+        decode) runs in one jitted program.
+
+        image: (H,W,3) or (B,H,W,3) uint8 (or float in [-1,1]) at the
+        model resolution. Returns (num_images, H, W, 3) uint8."""
+        scfg = self.cfg.sampler
+        num_images = num_images or scfg.num_images
+        steps = steps or scfg.steps
+        gs = scfg.guidance_scale if guidance_scale is None else guidance_scale
+        alpha = scfg.alpha if alpha is None else alpha
+        seed = scfg.seed if seed is None else seed
+        neg = scfg.negative_prompt if negative_prompt is None else negative_prompt
+        if not 0.0 < strength <= 1.0:
+            raise ValueError(f"strength must be in (0, 1], got {strength}")
+        keep = max(1, min(int(steps * strength), steps))
+        start = steps - keep
+        mcfg = self.cfg.model
+        alpha_type = meta.get("alpha_type", [alpha, 0.0, 1 - alpha])
+        sched = make_plms_schedule(self.diffusion, steps, alpha_type)
+
+        img = np.asarray(image)
+        if img.ndim == 3:
+            img = img[None]
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 127.5 - 1.0
+        expect_hw = mcfg.image_size * (
+            2 ** (len(self.cfg.autoencoder.ch_mult) - 1)
+        )
+        if img.shape[1:3] != (expect_hw, expect_hw):
+            raise ValueError(
+                f"image must be {expect_hw}x{expect_hw} at this config, "
+                f"got {img.shape[1:3]}"
+            )
+        if img.shape[0] == 1 and num_images > 1:
+            img = np.repeat(img, num_images, axis=0)
+        if img.shape[0] != num_images:
+            raise ValueError(f"got {img.shape[0]} images for num_images="
+                             f"{num_images}")
+
+        context = self.encode_prompt([meta["prompt"]] * num_images)
+        uc = self.encode_prompt([neg] * num_images)
+        phrase_emb = self.encode_phrases(meta["phrases"])
+        g_np = prepare_grounding(
+            meta, phrase_emb, batch=num_images, max_objs=mcfg.max_objs,
+            in_dim=mcfg.grounding_tokenizer.in_dim,
+        )
+        cond = {
+            "context": context.astype(compute_dtype),
+            "uc": uc.astype(compute_dtype),
+            "grounding": self._to_device_grounding(g_np, num_images),
+            "null_g": unifusion.null_grounding(
+                num_images, mcfg.max_objs, mcfg.grounding_tokenizer
+            ),
+            "i2i_rng": jax.random.split(jax.random.PRNGKey(seed), 2),
+        }
+        sample_fn = self._get_sample_fn(
+            (gs, 1, 0, gate_runs(sched.gates), None, compute_dtype,
+             "plms", start)
+        )
+        images = sample_fn(
+            self.params.unet, self.params.vae, sched, cond,
+            jnp.asarray(img),
+        )
+        return np.asarray(images)
 
     # -- batched eval sampling -------------------------------------------------
 

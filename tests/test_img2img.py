@@ -1,0 +1,81 @@
+"""Instance-conditioned img2img tests (pipeline.img2img): shape,
+determinism, input-image dependence, strength mechanics, validation."""
+
+import numpy as np
+import pytest
+
+from tests.test_pipeline import META, _patch_meta, tiny_config
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    from instancediffusion_tpu.pipeline import InstanceDiffusionPipeline
+
+    return InstanceDiffusionPipeline.random_init(tiny_config(), seed=0)
+
+
+def _with_dims(pipe):
+    import instancediffusion_tpu.data.grounding_input as gi
+
+    g = pipe.cfg.model.grounding_tokenizer
+    old = (gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE)
+    gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = (
+        g.n_scribble_points, g.n_polygon_points, g.seg_resize_input,
+    )
+    return old
+
+
+def test_img2img_end_to_end(pipe):
+    import instancediffusion_tpu.data.grounding_input as gi
+
+    old = _with_dims(pipe)
+    try:
+        meta = _patch_meta(pipe)
+        size = pipe.cfg.model.image_size * 2
+        rng = np.random.default_rng(0)
+        img_a = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+        img_b = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+
+        out = pipe.img2img(img_a, meta, strength=0.5, num_images=2,
+                           steps=4, seed=3)
+        assert out.shape == (2, size, size, 3) and out.dtype == np.uint8
+
+        # deterministic
+        out2 = pipe.img2img(img_a, meta, strength=0.5, num_images=2,
+                            steps=4, seed=3)
+        np.testing.assert_array_equal(out, out2)
+
+        # depends on the INPUT image (the encode path is live even at
+        # random init — unlike interior UNet weights, see test_lora.py)
+        out_b = pipe.img2img(img_b, meta, strength=0.5, num_images=2,
+                             steps=4, seed=3)
+        assert not np.array_equal(out, out_b)
+
+        # strength changes how much of the schedule runs
+        lo = pipe.img2img(img_a, meta, strength=0.25, num_images=1,
+                          steps=4, seed=3)
+        hi = pipe.img2img(img_a, meta, strength=1.0, num_images=1,
+                          steps=4, seed=3)
+        assert not np.array_equal(lo, hi)
+    finally:
+        gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = old
+
+
+def test_img2img_validation(pipe):
+    old = _with_dims(pipe)
+    import instancediffusion_tpu.data.grounding_input as gi
+
+    try:
+        meta = _patch_meta(pipe)
+        size = pipe.cfg.model.image_size * 2
+        img = np.zeros((size, size, 3), np.uint8)
+        with pytest.raises(ValueError, match="strength"):
+            pipe.img2img(img, meta, strength=0.0, steps=4)
+        with pytest.raises(ValueError, match="image must be"):
+            pipe.img2img(np.zeros((8, 8, 3), np.uint8), meta,
+                         strength=0.5, steps=4)
+        with pytest.raises(ValueError, match="num_images"):
+            pipe.img2img(np.zeros((3, size, size, 3), np.uint8), meta,
+                         strength=0.5, steps=4, num_images=2)
+    finally:
+        gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = old
