@@ -2,7 +2,8 @@
 
 Public surface parity with the reference `inference.py` (:165-310): same
 flags (--input_json/--num_images/--guidance_scale/--negative_prompt/--ckpt/
---seed/--alpha/--mis/--test_config/--output/--cascade_strength) and the same
+--seed/--alpha/--mis/--test_config/--output/--cascade_strength; beyond the
+reference: --sampler/--lora/--img2img/--strength) and the same
 demo-JSON schema (caption, width/height, annos[] with bbox/mask/point/
 scribble/caption). Writes PNGs plus a box-overlay image.
 
@@ -139,6 +140,13 @@ def main(argv=None):
                    help="plms = reference protocol; dpm = DPM-Solver++(2M) "
                         "fast serving (use --steps 20 --mis 0); ddim = "
                         "eta-0 baseline")
+    p.add_argument("--img2img", type=str, default=None,
+                   help="input image path: edit THIS image under the demo "
+                        "JSON's instance conditioning instead of sampling "
+                        "from noise (PLMS, MIS off)")
+    p.add_argument("--strength", type=float, default=0.5,
+                   help="img2img: fraction of the schedule re-noised "
+                        "(1.0 = full re-generation)")
     args = p.parse_args(argv)
 
     from instancediffusion_tpu.pipeline import InstanceDiffusionPipeline
@@ -162,17 +170,36 @@ def main(argv=None):
                            rng=np.random.default_rng(args.seed))
     meta["alpha_type"] = [args.alpha, 0.0, 1 - args.alpha]
 
-    images = pipe.generate(
-        meta,
-        num_images=args.num_images,
-        steps=args.steps,
-        guidance_scale=args.guidance_scale,
-        alpha=args.alpha,
-        mis=args.mis,
-        seed=args.seed,
-        negative_prompt=args.negative_prompt,
-        sampler=args.sampler,
-    )
+    if args.img2img:
+        from PIL import Image
+
+        res = cfg.model.image_size * 2 ** (len(cfg.autoencoder.ch_mult) - 1)
+        src = Image.open(args.img2img).convert("RGB").resize(
+            (res, res), Image.LANCZOS
+        )
+        images = pipe.img2img(
+            np.asarray(src),
+            meta,
+            strength=args.strength,
+            num_images=args.num_images,
+            steps=args.steps,
+            guidance_scale=args.guidance_scale,
+            alpha=args.alpha,
+            seed=args.seed,
+            negative_prompt=args.negative_prompt,
+        )
+    else:
+        images = pipe.generate(
+            meta,
+            num_images=args.num_images,
+            steps=args.steps,
+            guidance_scale=args.guidance_scale,
+            alpha=args.alpha,
+            mis=args.mis,
+            seed=args.seed,
+            negative_prompt=args.negative_prompt,
+            sampler=args.sampler,
+        )
 
     folder = os.path.join(
         args.output, f"gc{args.guidance_scale}-seed{args.seed}-alpha{args.alpha}"

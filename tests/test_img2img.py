@@ -79,3 +79,58 @@ def test_img2img_validation(pipe):
                          strength=0.5, steps=4, num_images=2)
     finally:
         gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = old
+
+
+def test_cli_img2img_dispatch(tmp_path, monkeypatch):
+    """--img2img routes to pipeline.img2img with the resized source image
+    and --strength; pipeline construction is stubbed (full-config init is
+    a TPU-scale job, covered by the real-pipeline tests above)."""
+    import json
+
+    from PIL import Image
+
+    import instancediffusion_tpu.inference as inf
+    import instancediffusion_tpu.pipeline as pl
+
+    demo = {
+        "caption": "a scene", "width": 64, "height": 64,
+        "annos": [{"bbox": [8, 8, 32, 32], "mask": [], "caption": "a dog"}],
+    }
+    dj = tmp_path / "demo.json"
+    dj.write_text(json.dumps(demo))
+    src = tmp_path / "src.png"
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    ).save(src)
+
+    calls = {}
+
+    class StubPipe:
+        def __init__(self):
+            from instancediffusion_tpu.config import Config
+
+            self.cfg = Config()
+
+        def img2img(self, image, meta, strength, num_images, **kw):
+            calls["image"] = np.asarray(image)
+            calls["strength"] = strength
+            calls["meta"] = meta
+            res = calls["image"].shape[0]
+            return np.zeros((num_images, res, res, 3), np.uint8)
+
+        def generate(self, *a, **kw):  # must NOT be hit
+            raise AssertionError("generate called in --img2img mode")
+
+    monkeypatch.setattr(
+        pl.InstanceDiffusionPipeline, "random_init",
+        classmethod(lambda cls, cfg, seed=0: StubPipe()),
+    )
+    inf.main([
+        "--input_json", str(dj), "--img2img", str(src), "--strength", "0.3",
+        "--num_images", "1", "--steps", "2", "--output", str(tmp_path / "o"),
+    ])
+    expect = StubPipe().cfg
+    res = expect.model.image_size * 2 ** (len(expect.autoencoder.ch_mult) - 1)
+    assert calls["image"].shape == (res, res, 3)
+    assert calls["strength"] == 0.3
+    assert calls["meta"]["prompt"] == "a scene"
