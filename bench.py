@@ -18,36 +18,64 @@ import time
 import numpy as np
 
 
-def _device_sanity(timeout_s: int = 180):
+def _device_sanity(attempts: int = 6, timeout_s: int = 60):
     """Fail fast (with a diagnosis) if the device link is dead instead of
     hanging until an external kill. Observed 2026-08-17: the axon tunnel
-    went down mid-session and even a (256,256) matmul blocked forever —
-    a silent hang here would burn the whole driver budget with zero
-    output."""
-    import threading
+    went down mid-session and even a (256,256) matmul blocked forever.
 
-    ok = []
+    Round-3 postmortem (BENCH_r03.json rc=134): the probe ran in a daemon
+    *thread*; when the main thread called sys.exit(3) while the thread was
+    blocked inside JAX C++, libstdc++ raised "FATAL: exception not
+    rethrown" -> SIGABRT and no JSON line was emitted. The probe now runs
+    in a *subprocess* (killable without touching this process's C++
+    state), retries with backoff so a transient tunnel flap doesn't kill
+    the round, and on final failure prints a parseable JSON error line
+    and exits 3 cleanly."""
+    import subprocess
 
-    def probe():
-        import jax
-        import jax.numpy as jnp
-
-        ok.append(float(jax.jit(lambda a: a.sum())(jnp.ones((8, 8)))))
-
-    th = threading.Thread(target=probe, daemon=True)
-    th.start()
-    th.join(timeout_s)
-    if not ok:
-        print(
-            f"bench: device unreachable within {timeout_s}s "
-            "(axon tunnel down?) — aborting instead of hanging",
-            file=sys.stderr, flush=True,
-        )
-        sys.exit(3)
+    probe_src = (
+        "import jax, jax.numpy as jnp; "
+        "print(float(jax.jit(lambda a: a.sum())(jnp.ones((8, 8)))))"
+    )
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe_src],
+                timeout=timeout_s, capture_output=True, text=True,
+            )
+            if r.returncode == 0 and "64.0" in r.stdout:
+                if i:
+                    print(f"bench: device probe ok on attempt {i + 1}",
+                          file=sys.stderr, flush=True)
+                return
+            reason = f"probe rc={r.returncode}: {r.stderr.strip()[-200:]}"
+        except subprocess.TimeoutExpired:
+            reason = f"probe hung >{timeout_s}s (axon tunnel down?)"
+        print(f"bench: attempt {i + 1}/{attempts} failed — {reason}",
+              file=sys.stderr, flush=True)
+        if i + 1 < attempts:
+            time.sleep(min(60, 10 * (i + 1)))
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip_50step_512px_4inst",
+        "value": None, "unit": "img/s/chip", "vs_baseline": None,
+        "error": f"device unreachable after {attempts} probe attempts",
+    }))
+    sys.exit(3)
 
 
 def main():
     _device_sanity()
+    # asset-free environment: opt into the hash-fallback tokenizer when
+    # the real BPE files are absent (compute cost is identical; flagship
+    # paths refuse the fallback without this explicit opt-in)
+    from instancediffusion_tpu.data.tokenizer import ASSETS_DIR
+    if not os.path.exists(os.path.join(ASSETS_DIR, "vocab.json")) and not (
+        os.environ.get("CLIP_TOKENIZER_DIR")
+    ):
+        os.environ.setdefault("IDTPU_ALLOW_HASH_TOKENIZER", "1")
+        print("bench: CLIP BPE assets absent — hash-fallback tokenizer "
+              "(run tools/fetch_clip_bpe.py on a networked host)",
+              file=sys.stderr, flush=True)
     import jax
 
     from instancediffusion_tpu.config import Config, apply_test_preset
@@ -100,7 +128,8 @@ def main():
     print(f"bench: compiled+ran in {compile_s:.0f}s", file=sys.stderr, flush=True)
     assert imgs.shape == (num_images, 512, 512, 3), imgs.shape
 
-    # timed runs
+    # timed runs — print per-run progress so an external timeout still
+    # leaves a usable tail (VERDICT r3 ask 1c)
     n_runs = 3
     t0 = time.time()
     for i in range(n_runs):
@@ -108,6 +137,10 @@ def main():
             meta, num_images=num_images, steps=steps, mis=0.0, seed=i + 1,
             sampler=sampler,
         )
+        el = time.time() - t0
+        print(f"bench: run {i + 1}/{n_runs} done, cumulative "
+              f"{num_images * (i + 1) / el:.4f} img/s",
+              file=sys.stderr, flush=True)
     dt = time.time() - t0
     imgs_per_sec = num_images * n_runs / dt
 

@@ -29,6 +29,13 @@ SOT = 49406
 EOT = 49407
 VOCAB_SIZE = 49408
 
+# Vendored-asset location (tools/fetch_clip_bpe.py populates it; kept out
+# of git only because this build environment has no network egress)
+ASSETS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets", "clip_bpe",
+)
+
 _PAT = re.compile(
     r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
     if False
@@ -85,12 +92,35 @@ class CLIPTokenizer:
 
     @classmethod
     def load_default(cls) -> "CLIPTokenizer":
-        d = os.environ.get("CLIP_TOKENIZER_DIR")
-        if d and os.path.exists(os.path.join(d, "vocab.json")):
-            return cls.from_files(
-                os.path.join(d, "vocab.json"), os.path.join(d, "merges.txt")
-            )
+        """Resolution order: $CLIP_TOKENIZER_DIR, then the vendored assets
+        dir (instancediffusion_tpu/assets/clip_bpe — populated by
+        tools/fetch_clip_bpe.py; ~1.8MB, MIT-licensed), then the hash
+        fallback. Flagship paths refuse the fallback unless
+        IDTPU_ALLOW_HASH_TOKENIZER=1 (see require_real)."""
+        for d in (os.environ.get("CLIP_TOKENIZER_DIR"), ASSETS_DIR):
+            if d and os.path.exists(os.path.join(d, "vocab.json")):
+                return cls.from_files(
+                    os.path.join(d, "vocab.json"), os.path.join(d, "merges.txt")
+                )
         return cls(None, None)  # hash fallback
+
+    def require_real(self, context: str = "this path") -> "CLIPTokenizer":
+        """Refuse the hash fallback unless explicitly opted in. The
+        fallback makes pipelines runnable asset-free (compute cost is
+        identical) but token ids are semantically meaningless — real
+        generations must never silently use it."""
+        if self.is_fallback and os.environ.get(
+            "IDTPU_ALLOW_HASH_TOKENIZER", ""
+        ) != "1":
+            raise RuntimeError(
+                f"CLIP vocab.json/merges.txt not found — refusing to run "
+                f"{context} with the hash-fallback tokenizer (token ids "
+                f"would be semantically meaningless). Run "
+                f"`python tools/fetch_clip_bpe.py` (needs network) or set "
+                f"CLIP_TOKENIZER_DIR; set IDTPU_ALLOW_HASH_TOKENIZER=1 to "
+                f"opt into the fallback for asset-free benchmarks/tests."
+            )
+        return self
 
     @property
     def is_fallback(self) -> bool:

@@ -148,18 +148,20 @@ class InstanceDiffusionPipeline:
     _warned_fallback = False
 
     def encode_prompt(self, prompts: list[str]) -> jnp.ndarray:
-        if getattr(self.tokenizer, "is_fallback", False) and not self._warned_fallback:
-            type(self)._warned_fallback = True
-            import warnings
+        if getattr(self.tokenizer, "is_fallback", False):
+            # refuses unless IDTPU_ALLOW_HASH_TOKENIZER=1 (VERDICT r3 #4:
+            # real generations must never silently use meaningless ids)
+            self.tokenizer.require_real("prompt encoding")
+            if not self._warned_fallback:
+                type(self)._warned_fallback = True
+                import warnings
 
-            warnings.warn(
-                "CLIP vocab/merges files not found — tokenizer is using the "
-                "deterministic hash fallback, so token ids (and therefore "
-                "text conditioning) are semantically meaningless. Set "
-                "CLIP_TOKENIZER_DIR to a directory with vocab.json + "
-                "merges.txt for real prompts.",
-                stacklevel=2,
-            )
+                warnings.warn(
+                    "tokenizer is the deterministic hash fallback "
+                    "(IDTPU_ALLOW_HASH_TOKENIZER=1): token ids are "
+                    "semantically meaningless; compute cost is identical.",
+                    stacklevel=2,
+                )
         ids = np.stack([self.tokenizer.encode(p) for p in prompts])
         return self._encode_text_jit(self.params.clip, jnp.asarray(ids))[
             "last_hidden_state"

@@ -123,6 +123,8 @@ class SDXLRefinerPipeline:
     # -- conditioning -------------------------------------------------------
 
     def _encode(self, prompts: list[str]):
+        if getattr(self.tokenizer, "is_fallback", False):
+            self.tokenizer.require_real("refiner prompt encoding")
         ids = jnp.asarray(
             np.stack([self.tokenizer.encode(p) for p in prompts])
         )

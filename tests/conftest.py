@@ -9,6 +9,10 @@ compete with benchmarks for the one real chip."""
 
 import os
 
+# Tests are asset-free by design: opt into the hash-fallback tokenizer
+# (flagship paths refuse it otherwise — see data/tokenizer.require_real)
+os.environ.setdefault("IDTPU_ALLOW_HASH_TOKENIZER", "1")
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("JAX_PLATFORM_NAME", None)
 _flags = [

@@ -91,3 +91,41 @@ def test_fallback_is_deterministic_and_marked():
     assert a[0] == SOT and a[-1] == EOT
     # different words -> different ids (no degenerate constant hash)
     assert not np.array_equal(fb.encode("dog"), fb.encode("cat"))
+
+
+def test_fallback_refused_unless_opted_in(monkeypatch):
+    """Flagship paths must never silently generate with meaningless ids
+    (VERDICT r3 #4)."""
+    fb = CLIPTokenizer(None, None)
+    monkeypatch.delenv("IDTPU_ALLOW_HASH_TOKENIZER", raising=False)
+    with pytest.raises(RuntimeError, match="fetch_clip_bpe"):
+        fb.require_real("test")
+    monkeypatch.setenv("IDTPU_ALLOW_HASH_TOKENIZER", "1")
+    assert fb.require_real("test") is fb
+    # a real tokenizer passes regardless of the env knob
+    monkeypatch.delenv("IDTPU_ALLOW_HASH_TOKENIZER", raising=False)
+    real = CLIPTokenizer({"x": 0}, [])
+    assert real.require_real("test") is real
+
+
+# Canonical example ids from the OpenAI CLIP / HF docs: the real-vocab
+# golden check. Runs only where tools/fetch_clip_bpe.py has populated the
+# assets (this build environment has no egress, so it skips here — the
+# fetch script itself re-verifies the same goldens at download time).
+REAL_GOLDEN = {
+    "a photo of a cat": [49406, 320, 1125, 539, 320, 2368, 49407],
+    "a photo of a dog": [49406, 320, 1125, 539, 320, 1929, 49407],
+}
+
+
+def test_real_vocab_golden_ids():
+    from instancediffusion_tpu.data.tokenizer import ASSETS_DIR
+
+    if not os.path.exists(os.path.join(ASSETS_DIR, "vocab.json")):
+        pytest.skip("real CLIP BPE assets not vendored (no-egress host)")
+    tok = CLIPTokenizer.load_default()
+    assert not tok.is_fallback
+    for text, want in REAL_GOLDEN.items():
+        got = tok.encode(text)
+        assert got[: len(want)].tolist() == want, text
+        assert (got[len(want):] == EOT).all()
