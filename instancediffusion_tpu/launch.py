@@ -53,22 +53,36 @@ def get_args_parser():
     return p
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Multi-host rendezvous: the equivalent of the reference's
+    init_process_group(backend='nccl') + barrier (utils/dist.py:13-37).
+    Topology comes from the TPU metadata service on Cloud TPU, or from the
+    explicit coordinator args elsewhere (incl. the CPU dryrun's 2-process
+    DCN leg, which drives exactly this function). Returns
+    (process_index, process_count) after the rendezvous completes."""
+    import jax
+
+    kw = {}
+    if coordinator:
+        kw = dict(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kw)
+    return jax.process_index(), jax.process_count()
+
+
 def main(argv=None):
     args = get_args_parser().parse_args(argv)
 
     import jax
 
     if args.multihost:
-        # equivalent of init_process_group(backend='nccl') + barrier
-        # (utils/dist.py:13-37); topology from TPU metadata or explicit args
-        kw = {}
-        if args.coordinator:
-            kw = dict(
-                coordinator_address=args.coordinator,
-                num_processes=args.num_processes,
-                process_id=args.process_id,
-            )
-        jax.distributed.initialize(**kw)
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
 
     from instancediffusion_tpu.config import load_config
     from instancediffusion_tpu.train.trainer import Trainer

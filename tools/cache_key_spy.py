@@ -30,8 +30,8 @@ aborting, which does compile everything).
 
 import argparse
 import logging
+import os
 import sys
-import threading
 import time
 
 
@@ -48,25 +48,15 @@ def main():
     )
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--sanity-timeout", type=int, default=180)
     args = ap.parse_args()
 
-    # fail fast if the device link is dead (axon tunnel, see bench.py)
-    ok = []
+    # fail fast if the device link is dead — same subprocess probe +
+    # retry/backoff as bench.py (the daemon-thread probe SIGABRTed on
+    # exit; see bench._device_sanity's round-3 postmortem)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _device_sanity
 
-    def probe():
-        import jax
-        import jax.numpy as jnp
-
-        ok.append(float(jax.jit(lambda a: a.sum())(jnp.ones((8, 8)))))
-
-    th = threading.Thread(target=probe, daemon=True)
-    th.start()
-    th.join(args.sanity_timeout)
-    if not ok:
-        print(f"spy: device unreachable within {args.sanity_timeout}s — "
-              "aborting", file=sys.stderr, flush=True)
-        return 3
+    _device_sanity()
 
     import jax
     from jax._src import cache_key
