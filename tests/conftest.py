@@ -30,11 +30,15 @@ jax.config.update("jax_platforms", "cpu")
 # vs torch fp32); golden parity tests need true fp32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: XLA:CPU compiles are minutes on this 1-core
-# host and dominate suite wall-clock; repeat runs hit the cache.
+# host and dominate suite wall-clock; repeat runs hit the cache. NOT the
+# bench's cache dir: a pytest run concurrent with bench.py polluted the
+# bench's entry-count accounting and masqueraded as axon cache-key
+# nondeterminism for a whole round (docs/PERF.md round-4 postmortem).
 jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get(
-        "IDTPU_COMPILE_CACHE", os.path.expanduser("~/.cache/idtpu_xla")
+        "IDTPU_COMPILE_CACHE_CPU",
+        os.path.expanduser("~/.cache/idtpu_xla_cpu_tests"),
     ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)

@@ -57,6 +57,9 @@ def main():
     from bench import _device_sanity
 
     _device_sanity()
+    # asset-free key probe: the hash-fallback tokenizer is fine here (the
+    # cache key depends only on graph structure, not token values)
+    os.environ.setdefault("IDTPU_ALLOW_HASH_TOKENIZER", "1")
 
     import jax
     from jax._src import cache_key
