@@ -6,6 +6,9 @@ whether block size or the kernel itself is the limiter.
 python tools/ff_bench.py   (real TPU)
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable uninstalled
+
 import time
 
 import jax

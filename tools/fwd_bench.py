@@ -4,6 +4,9 @@ switchable attention paths — the unit the 50-step bench multiplies.
 python tools/fwd_bench.py [--packed64]   (default: split-heads, the measured winner)
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable uninstalled
+
 import sys
 import time
 

@@ -8,7 +8,10 @@ python tools/generate_trace.py [--out docs/traces/r3_gen] [--batch 8] [--steps 5
 then: python tools/xplane_parse.py <out> --top 30
 """
 
+
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable uninstalled
 
 import argparse
 import sys

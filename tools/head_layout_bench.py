@@ -15,6 +15,9 @@ trace (tools/profile_bench.py) for per-op attribution.
 python tools/head_layout_bench.py [B]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable uninstalled
+
 import sys
 import time
 

@@ -7,7 +7,10 @@ with data instead of guesses. Results feed kernels/flash_attention.py.
 Run: python tools/kernel_bench.py
 """
 
+
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable uninstalled
 
 import functools
 import math

@@ -10,6 +10,9 @@ projection matmuls + attention + out-projection.
 Run on the real TPU: python tools/packed64_bench.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable uninstalled
+
 import time
 
 import jax

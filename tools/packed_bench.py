@@ -5,6 +5,9 @@ retiling of the (B,H,N,40) arrays) on the benchmark's dominant shapes.
 Run on the real TPU: python tools/packed_bench.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable uninstalled
+
 import time
 
 import jax

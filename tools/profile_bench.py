@@ -10,7 +10,10 @@ Outputs:
   <out>/op_breakdown.txt      top self-time ops (committed for the record)
 """
 
+
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable uninstalled
 
 import argparse
 import glob

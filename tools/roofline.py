@@ -12,7 +12,10 @@ MXU contraction/output dims use 128-wide passes, so a dot with contraction
 dim d < 128 can reach at most 197 * d/128 (the d=40 attention wall).
 """
 
+
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable uninstalled
 
 import argparse
 

@@ -6,6 +6,9 @@ interpret-mode tests only check math.
 Run: python tools/train_bench.py [batch]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable uninstalled
+
 import sys
 import time
 

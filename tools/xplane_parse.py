@@ -11,7 +11,10 @@ no proto descriptors needed. Schema subset (tsl/profiler xplane.proto):
 Usage: python tools/xplane_parse.py <trace.xplane.pb|trace-dir> [--top 40]
 """
 
+
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable uninstalled
 
 import argparse
 import collections
