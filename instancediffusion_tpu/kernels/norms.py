@@ -26,7 +26,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# one (N, C) batch row must fit VMEM ~3x over (in/out + fp32 temps)
+# one (N, C) batch row must fit VMEM ~3x over (in/out + fp32 temps).
+# Raising to 4M to admit the decoder's concat-width GroupNorms was tried
+# in round 4 and REJECTED by Mosaic's scoped-stack estimator (92.39M
+# estimated for the (4096,960) block vs an 88M ceiling — the estimate is
+# ~5x the arithmetic need and varies with the surrounding program). Those
+# shapes are handled by the fusion barrier in nn.group_norm's fallback
+# instead (see nn/core.py).
 _MAX_VMEM_ELEMS = 2 * 1024 * 1024
 
 # Mosaic's scoped-stack estimate for these kernels varies with the

@@ -199,6 +199,14 @@ def group_norm(
     out = (xg - mean.astype(orig_dtype)) * inv.astype(orig_dtype)
     out = out.reshape(b, *spatial, c)
     out = out * p["scale"].astype(orig_dtype) + p["bias"].astype(orig_dtype)
+    # Round-4 dead end: for the decoder's concat-width norms just above
+    # the Pallas VMEM gate ((4096,960)/(4096,640)/(1024,2560) per row),
+    # XLA fuses this normalize chain into the consuming 3x3 conv's
+    # operand (add_add_fusion at 5.12 ms vs a 1.84 ms conv roofline in
+    # docs/traces/r4_gen). An optimization_barrier here to materialize
+    # the normalized tensor measured NEUTRAL on-chip (96.7 vs 96.4
+    # ms/fwd B=8) — the extra HBM pass costs what the fusion shape
+    # saves — so the fence was removed. See docs/PERF.md round-4 notes.
     return silu(out) if act == "silu" else out
 
 
