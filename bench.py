@@ -37,20 +37,34 @@ def _device_sanity(attempts: int = 6, timeout_s: int = 60):
         "import jax, jax.numpy as jnp; "
         "print(float(jax.jit(lambda a: a.sum())(jnp.ones((8, 8)))))"
     )
+    # The tunnel SERIALIZES clients (observed 2026-08-19): a single leaked
+    # probe child blocked inside JAX C++ makes every later connection hang
+    # forever, which looks exactly like "tunnel down". So (a) never leak
+    # the child — Popen + finally-kill survives the parent being SIGTERMed
+    # mid-probe, where subprocess.run(timeout=...) would orphan it; and
+    # (b) a hang may be ANOTHER client holding the link, which retrying
+    # does eventually win once that client exits.
     for i in range(attempts):
+        child = None
         try:
-            r = subprocess.run(
+            child = subprocess.Popen(
                 [sys.executable, "-c", probe_src],
-                timeout=timeout_s, capture_output=True, text=True,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
-            if r.returncode == 0 and "64.0" in r.stdout:
+            out, err = child.communicate(timeout=timeout_s)
+            if child.returncode == 0 and "64.0" in out:
                 if i:
                     print(f"bench: device probe ok on attempt {i + 1}",
                           file=sys.stderr, flush=True)
                 return
-            reason = f"probe rc={r.returncode}: {r.stderr.strip()[-200:]}"
+            reason = f"probe rc={child.returncode}: {err.strip()[-200:]}"
         except subprocess.TimeoutExpired:
-            reason = f"probe hung >{timeout_s}s (axon tunnel down?)"
+            reason = (f"probe hung >{timeout_s}s (axon tunnel down, or "
+                      f"another client is holding the serialized link?)")
+        finally:
+            if child is not None and child.poll() is None:
+                child.kill()
+                child.wait()
         print(f"bench: attempt {i + 1}/{attempts} failed — {reason}",
               file=sys.stderr, flush=True)
         if i + 1 < attempts:
