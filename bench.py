@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 
-def _device_sanity(attempts: int = 6, timeout_s: int = 60):
+def _device_sanity(timeouts=(480, 180, 180)):
     """Fail fast (with a diagnosis) if the device link is dead instead of
     hanging until an external kill. Observed 2026-08-17: the axon tunnel
     went down mid-session and even a (256,256) matmul blocked forever.
@@ -28,23 +28,28 @@ def _device_sanity(attempts: int = 6, timeout_s: int = 60):
     blocked inside JAX C++, libstdc++ raised "FATAL: exception not
     rethrown" -> SIGABRT and no JSON line was emitted. The probe now runs
     in a *subprocess* (killable without touching this process's C++
-    state), retries with backoff so a transient tunnel flap doesn't kill
-    the round, and on final failure prints a parseable JSON error line
-    and exits 3 cleanly."""
+    state), retries so a transient tunnel flap doesn't kill the round,
+    and on final failure prints a parseable JSON error line and exits 3
+    cleanly.
+
+    Round-4 measurement: the first device op of a NEW client session takes
+    ~5.5 min (339 s timed; device-side session spin-up), then ~25 s while
+    warm. A 60 s-timeout retry loop is therefore SELF-DEFEATING cold —
+    killing the probe discards the spin-up progress and the next attempt
+    starts over. Hence one LONG first attempt (8 min) and two warm-scale
+    retries, instead of six 60 s kills."""
     import subprocess
 
     probe_src = (
         "import jax, jax.numpy as jnp; "
         "print(float(jax.jit(lambda a: a.sum())(jnp.ones((8, 8)))))"
     )
-    # The tunnel SERIALIZES clients (observed 2026-08-19): a single leaked
-    # probe child blocked inside JAX C++ makes every later connection hang
-    # forever, which looks exactly like "tunnel down". So (a) never leak
-    # the child — Popen + finally-kill survives the parent being SIGTERMed
-    # mid-probe, where subprocess.run(timeout=...) would orphan it; and
-    # (b) a hang may be ANOTHER client holding the link, which retrying
-    # does eventually win once that client exits.
-    for i in range(attempts):
+    # Never leak the child (observed 2026-08-19: the tunnel serializes
+    # clients, and an orphaned probe blocked inside JAX C++ wedged every
+    # later connection) — Popen + finally-kill survives the parent being
+    # SIGTERMed mid-probe, where subprocess.run(timeout=...) would orphan.
+    attempts = len(timeouts)
+    for i, timeout_s in enumerate(timeouts):
         child = None
         try:
             child = subprocess.Popen(
@@ -59,8 +64,8 @@ def _device_sanity(attempts: int = 6, timeout_s: int = 60):
                 return
             reason = f"probe rc={child.returncode}: {err.strip()[-200:]}"
         except subprocess.TimeoutExpired:
-            reason = (f"probe hung >{timeout_s}s (axon tunnel down, or "
-                      f"another client is holding the serialized link?)")
+            reason = (f"probe hung >{timeout_s}s (axon tunnel down? "
+                      f"cold session spin-up is ~5.5 min)")
         finally:
             if child is not None and child.poll() is None:
                 child.kill()
@@ -68,7 +73,7 @@ def _device_sanity(attempts: int = 6, timeout_s: int = 60):
         print(f"bench: attempt {i + 1}/{attempts} failed — {reason}",
               file=sys.stderr, flush=True)
         if i + 1 < attempts:
-            time.sleep(min(60, 10 * (i + 1)))
+            time.sleep(30)
     print(json.dumps({
         "metric": "images_per_sec_per_chip_50step_512px_4inst",
         "value": None, "unit": "img/s/chip", "vs_baseline": None,
