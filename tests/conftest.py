@@ -41,9 +41,25 @@ jax.config.update(
         os.path.expanduser("~/.cache/idtpu_xla_cpu_tests"),
     ),
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 assert len(jax.devices()) >= 8 and jax.devices()[0].platform == "cpu", (
     f"conftest failed to force the 8-device CPU mesh: "
     f"{len(jax.devices())}x {jax.devices()[0].platform}"
 )
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_pipe():
+    """ONE shared tiny pipeline for the e2e tests (test_pipeline, test_dpm,
+    test_img2img): random_init + per-variant tracing dominates fast-tier
+    wall-clock on this 1-core host, and generate/img2img never mutate
+    params, so sharing the instance (and its _sample_cache) is safe.
+    Tests that mutate params (test_lora's load_lora) build their own."""
+    from instancediffusion_tpu.pipeline import InstanceDiffusionPipeline
+
+    from tests.test_pipeline import tiny_config
+
+    return InstanceDiffusionPipeline.random_init(tiny_config(), seed=0)

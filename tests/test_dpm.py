@@ -113,10 +113,9 @@ def test_lower_order_final_default():
     assert not np.allclose(np.asarray(x_on), np.asarray(x_off))
 
 
-def test_pipeline_sampler_selection(monkeypatch):
-    from tests.test_pipeline import _patch_meta, tiny_config
+def test_pipeline_sampler_selection(monkeypatch, tiny_pipe):
+    from tests.test_pipeline import _patch_meta
     import instancediffusion_tpu.pipeline as pipeline_mod
-    from instancediffusion_tpu.pipeline import InstanceDiffusionPipeline
     import instancediffusion_tpu.data.grounding_input as gi
     from instancediffusion_tpu.samplers import dpm as dpm_samplers
 
@@ -134,7 +133,7 @@ def test_pipeline_sampler_selection(monkeypatch):
 
     monkeypatch.setattr(pipeline_mod.dpm_mod, "dpm_sample", spy)
 
-    pipe = InstanceDiffusionPipeline.random_init(tiny_config(), seed=0)
+    pipe = tiny_pipe  # session-shared (conftest); sampler selection only
     meta = _patch_meta(pipe)
     g = pipe.cfg.model.grounding_tokenizer
     old = (gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE)
@@ -155,8 +154,10 @@ def test_pipeline_sampler_selection(monkeypatch):
         imgs_plms = pipe.generate(meta, num_images=1, steps=5, mis=0.0,
                                   seed=1, sampler="plms")
         assert imgs_plms.shape == imgs.shape
+        # subset, not equality: the session-shared pipe may carry variants
+        # compiled by other test files
         keys = {k[-1] for k in pipe._sample_cache}
-        assert keys == {"dpm", "plms"}, keys
+        assert {"dpm", "plms"} <= keys, keys
         # MIS is PLMS-only
         with pytest.raises(ValueError, match="MIS"):
             pipe.generate(meta, num_images=1, steps=5, mis=0.4, seed=1,

@@ -4,14 +4,13 @@ determinism, input-image dependence, strength mechanics, validation."""
 import numpy as np
 import pytest
 
-from tests.test_pipeline import META, _patch_meta, tiny_config
+from tests.test_pipeline import _patch_meta
 
 
-@pytest.fixture(scope="module")
-def pipe():
-    from instancediffusion_tpu.pipeline import InstanceDiffusionPipeline
-
-    return InstanceDiffusionPipeline.random_init(tiny_config(), seed=0)
+@pytest.fixture()
+def pipe(tiny_pipe):
+    # session-shared instance (tests/conftest.py); img2img never mutates
+    return tiny_pipe
 
 
 def _with_dims(pipe):

@@ -49,10 +49,12 @@ META = {
 }
 
 
-@pytest.fixture(scope="module")
-def pipe():
-    cfg = tiny_config()
-    return InstanceDiffusionPipeline.random_init(cfg, seed=0)
+@pytest.fixture()
+def pipe(tiny_pipe):
+    # session-shared instance (tests/conftest.py) — generate/generate_batch
+    # never mutate params, and sharing its _sample_cache removes duplicate
+    # random_init + tracing across test files on this 1-core host
+    return tiny_pipe
 
 
 def _patch_meta(pipe):

@@ -52,7 +52,11 @@ def test_refiner_forward_shape_and_finite():
         jax.random.PRNGKey(3), (b, cfg.adm_in_channels - 5 * 256)
     ) if cfg.adm_in_channels > 5 * 256 else None
     y = jax.random.normal(jax.random.PRNGKey(3), (b, cfg.adm_in_channels))
-    out = apply_refiner_unet(params, cfg, x, t, ctx, y, attn_impl="xla")
+    # jit: eager op-by-op dispatch of the 3-level UNet costs ~35 s on this
+    # 1-core host; the jitted compile is persistent-cache-able (conftest)
+    fwd = jax.jit(lambda p, x, t, ctx, y: apply_refiner_unet(
+        p, cfg, x, t, ctx, y, attn_impl="xla"))
+    out = fwd(params, x, t, ctx, y)
     assert out.shape == (b, hw, hw, 4)
     assert bool(jnp.isfinite(out).all())
     # zero-initialized final conv: fresh init predicts exactly zero

@@ -80,7 +80,9 @@ def test_masked_update_freezes_frozen(unet_params):
     tx = opt_mod.make_optimizer(learning_rate=1e-2, warmup_steps=0, params=params)
     state = tx.init(params)
     grads = jax.tree_util.tree_map(jnp.ones_like, params)
-    updates, _ = tx.update(grads, state, params)
+    # jit: an eager masked-AdamW update over hundreds of leaves is ~20 s
+    # of op-by-op dispatch on this host; jitted it is one cacheable compile
+    updates, _ = jax.jit(tx.update)(grads, state, params)
     mask = opt_mod.trainable_mask(params)
     leaves = zip(
         jax.tree_util.tree_leaves(updates), jax.tree_util.tree_leaves(mask)
