@@ -147,7 +147,7 @@ class InstanceDiffusionPipeline:
 
     _warned_fallback = False
 
-    def encode_prompt(self, prompts: list[str]) -> jnp.ndarray:
+    def _check_tokenizer(self):
         if getattr(self.tokenizer, "is_fallback", False):
             # refuses unless IDTPU_ALLOW_HASH_TOKENIZER=1 (VERDICT r3 #4:
             # real generations must never silently use meaningless ids)
@@ -160,8 +160,11 @@ class InstanceDiffusionPipeline:
                     "tokenizer is the deterministic hash fallback "
                     "(IDTPU_ALLOW_HASH_TOKENIZER=1): token ids are "
                     "semantically meaningless; compute cost is identical.",
-                    stacklevel=2,
+                    stacklevel=3,
                 )
+
+    def encode_prompt(self, prompts: list[str]) -> jnp.ndarray:
+        self._check_tokenizer()
         ids = np.stack([self.tokenizer.encode(p) for p in prompts])
         return self._encode_text_jit(self.params.clip, jnp.asarray(ids))[
             "last_hidden_state"
@@ -297,10 +300,39 @@ class InstanceDiffusionPipeline:
             return model_fn
 
         def sample_fn(unet_params, vae_params, sched, cond, x_init):
-            global_fn = make_cfg_fn(
-                unet_params, cond["context"], cond["uc"], cond["grounding"],
-                cond["null_g"],
-            )
+            # In-graph conditioning expansion (r4 itemization: every eager
+            # device op over the remote link costs a round trip; ~1s/batch
+            # of the measured wall was host/link glue). generate() passes
+            # COMPACT conditioning — (1, ...) text rows and batch-1
+            # grounding (all images share one meta) — broadcast to the
+            # batch here, inside the one compiled program. generate_batch
+            # passes full-size (b, ...) arrays, which pass through. The
+            # CFG null grounding is all-zeros with static shapes: built
+            # in-graph (XLA broadcasts a scalar 0 — the eager 251MB segs
+            # zeros buffer per call is gone).
+            b = x_init.shape[0]
+
+            def expand(a, n=b):
+                a = a.astype(compute_dtype)
+                if a.shape[0] == 1 and n != 1:
+                    return jnp.broadcast_to(a, (n,) + a.shape[1:])
+                return a
+
+            def expand_g(g, n=b):
+                return {
+                    k: (
+                        jnp.broadcast_to(v, (n,) + v.shape[1:])
+                        if v.shape[0] == 1 and n != 1 else v
+                    )
+                    for k, v in g.items()
+                }
+
+            context = expand(cond["context"])
+            uc = expand(cond["uc"]) if cond.get("uc") is not None else None
+            grounding = expand_g(cond["grounding"])
+            null_g = unifusion.null_grounding(b, cfg.model.max_objs, gcfg)
+            global_fn = make_cfg_fn(unet_params, context, uc, grounding,
+                                    null_g)
             if img2img_start is not None:
                 # x_init is the INPUT IMAGE (B,H,W,3) in [-1,1]: encode,
                 # forward-noise to the start step's DDIM alpha, resume the
@@ -323,9 +355,27 @@ class InstanceDiffusionPipeline:
                     static_gates=static_gates,
                 )
             elif num_traj > 1 and mis_step > 0:
+                # trajectory-major stacks: rows [j*b, (j+1)*b) hold
+                # trajectory j. generate() passes compact per-trajectory
+                # rows (ctx_rows (num_traj,77,D), g_rows (num_traj,...)),
+                # repeated to the batch in-graph; generate_batch passes
+                # full (num_traj*b, ...) stacks.
+                if "ctx_rows" in cond:
+                    ctx_stack = jnp.repeat(
+                        cond["ctx_rows"].astype(compute_dtype), b, axis=0
+                    )
+                    g_stack = jax.tree_util.tree_map(
+                        lambda a: jnp.repeat(a, b, axis=0), cond["g_rows"]
+                    )
+                else:
+                    ctx_stack = expand(cond["ctx_stack"], num_traj * b)
+                    g_stack = expand_g(cond["g_stack"], num_traj * b)
+                uc_stack = jnp.tile(uc, (num_traj, 1, 1))
+                null_stack = unifusion.null_grounding(
+                    num_traj * b, cfg.model.max_objs, gcfg
+                )
                 traj_fn = make_cfg_fn(
-                    unet_params, cond["ctx_stack"], cond["uc_stack"],
-                    cond["g_stack"], cond["null_stack"],
+                    unet_params, ctx_stack, uc_stack, g_stack, null_stack
                 )
                 z = mis_mod.mis_sample(
                     traj_fn, global_fn, sched, x_init, num_traj,
@@ -405,6 +455,8 @@ class InstanceDiffusionPipeline:
         (DPM-Solver++(2M): ~2.5x fewer steps for comparable quality; pass
         steps=20), or 'ddim'. MIS is a PLMS construction
         (plms_instance.py) — non-plms samplers require mis == 0."""
+        import time as _time
+
         scfg = self.cfg.sampler
         num_images = num_images or scfg.num_images
         steps = steps or scfg.steps
@@ -422,64 +474,84 @@ class InstanceDiffusionPipeline:
         mcfg = self.cfg.model
         alpha_type = meta.get("alpha_type", [alpha, 0.0, 1 - alpha])
 
+        timings: dict = {}
+        t0 = _time.perf_counter()
         sched = self._make_schedule(sampler, steps, alpha_type)
+        timings["schedule_host"] = _time.perf_counter() - t0
 
-        # text conditioning
-        context = self.encode_prompt([meta["prompt"]] * num_images)
-        uc = self.encode_prompt([neg] * num_images)
-        phrase_emb = self.encode_phrases(meta["phrases"])
+        # text conditioning — ONE batched encode dispatch for prompt +
+        # negative + phrases (+ MIS per-instance prompts). Each eager jit
+        # call over the remote-device link costs a round trip; the r4
+        # itemization measured ~130ms text_encode + ~110ms grounding
+        # transfers per batch from the old 3-call + per-phrase-fetch path.
+        t0 = _time.perf_counter()
+        k = len(meta["phrases"])
+        want_mis = mis > 0 and k > 0
+        texts = [meta["prompt"], neg] + list(meta["phrases"])
+        inst_metas = []
+        if want_mis:
+            # per-instance trajectory conditioning (inference.py:83-88)
+            inst_metas = [prepare_instance_meta(meta, i) for i in range(k)]
+            texts += [im["prompt"] for im in inst_metas]
+        self._check_tokenizer()
+        ids = np.stack([self.tokenizer.encode(t) for t in texts])
+        enc = self._encode_text_jit(self.params.clip, jnp.asarray(ids))
+        last = enc["last_hidden_state"]
+        # context/uc stay on device as (1, 77, D) rows — sample_fn
+        # broadcasts to the batch in-graph; phrase pooled embeddings come
+        # to host ONCE (they fill the numpy grounding arrays)
+        context, uc = last[0:1], last[1:2]
+        pooled_np = np.asarray(enc["pooler_output"][2:]) if k else None
+        phrase_emb = [pooled_np[i] for i in range(k)]
+        timings["text_encode"] = _time.perf_counter() - t0
 
+        t0 = _time.perf_counter()
+        # batch-1 grounding: all images share the meta, so transfer one row
+        # and broadcast on device (the old batch=8 transfer moved ~1MB of
+        # mostly-zero polygons/embeddings per call at ~17MB/s link speed)
         g_np = prepare_grounding(
-            meta, phrase_emb, batch=num_images, max_objs=mcfg.max_objs,
+            meta, phrase_emb, batch=1, max_objs=mcfg.max_objs,
             in_dim=mcfg.grounding_tokenizer.in_dim,
         )
-        grounding = self._to_device_grounding(g_np, num_images)
-        null_g = unifusion.null_grounding(
-            num_images, mcfg.max_objs, mcfg.grounding_tokenizer
-        )
+        grounding = self._to_device_grounding(g_np, 1)
+        timings["grounding_prep"] = _time.perf_counter() - t0
 
         cond = {
-            "context": context.astype(compute_dtype),
-            "uc": uc.astype(compute_dtype),
+            "context": context,
+            "uc": uc,
             "grounding": grounding,
-            "null_g": null_g,
         }
 
+        t0 = _time.perf_counter()
         rng = jax.random.PRNGKey(seed)
         x_init = jax.random.normal(
             rng, (num_images, mcfg.image_size, mcfg.image_size, mcfg.in_channels)
         ).astype(compute_dtype)
+        timings["x_init"] = _time.perf_counter() - t0
 
-        num_traj = 1 + len(meta["phrases"]) if mis > 0 else 1
+        num_traj = 1 + k if mis > 0 else 1
         mis_step = int(steps * mis) if num_traj > 1 else 0
 
         if num_traj > 1 and mis_step > 0:
-            # per-instance trajectory conditioning (inference.py:83-88)
+            # compact per-trajectory rows (batch=1 each); sample_fn repeats
+            # them to the batch in-graph (trajectory-major)
+            t0 = _time.perf_counter()
             inst_groundings = [grounding]
-            inst_contexts = [cond["context"]]
-            for i in range(len(meta["phrases"])):
-                im = prepare_instance_meta(meta, i)
+            for i, im in enumerate(inst_metas):
                 ig = prepare_grounding(
-                    im, [phrase_emb[i]], batch=num_images,
+                    im, [phrase_emb[i]], batch=1,
                     max_objs=mcfg.max_objs,
                     in_dim=mcfg.grounding_tokenizer.in_dim,
                 )
-                inst_groundings.append(
-                    self._to_device_grounding(ig, num_images)
-                )
-                inst_contexts.append(
-                    self.encode_prompt([im["prompt"]] * num_images).astype(
-                        compute_dtype
-                    )
-                )
-            cond["g_stack"] = mis_mod.stack_groundings(inst_groundings)
-            cond["ctx_stack"] = jnp.concatenate(inst_contexts, axis=0)
-            cond["uc_stack"] = jnp.tile(cond["uc"], (num_traj, 1, 1))
-            cond["null_stack"] = unifusion.null_grounding(
-                num_traj * num_images, mcfg.max_objs, mcfg.grounding_tokenizer
+                inst_groundings.append(self._to_device_grounding(ig, 1))
+            cond["g_rows"] = mis_mod.stack_groundings(inst_groundings)
+            cond["ctx_rows"] = jnp.concatenate(
+                [last[0:1], last[2 + k:2 + 2 * k]], axis=0
             )
+            timings["mis_prep"] = _time.perf_counter() - t0
 
         static_gates = None if sampler == "ddim" else gate_runs(sched.gates)
+        t0 = _time.perf_counter()
         sample_fn = self._get_sample_fn(
             (gs, num_traj, mis_step, static_gates, None, compute_dtype,
              sampler)
@@ -487,7 +559,17 @@ class InstanceDiffusionPipeline:
         images = sample_fn(
             self.params.unet, self.params.vae, sched, cond, x_init
         )
-        return np.asarray(images)  # uint8, quantized on device
+        timings["sample_dispatch"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        images.block_until_ready()
+        timings["sample_device"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        out = np.asarray(images)  # uint8, quantized on device
+        timings["fetch"] = _time.perf_counter() - t0
+        # per-phase host wall seconds of the last generate() — serving
+        # diagnostics + the PERF.md overhead attribution (VERDICT r3 #2)
+        self.last_timings = timings
+        return out
 
     def img2img(
         self,
@@ -552,12 +634,9 @@ class InstanceDiffusionPipeline:
             in_dim=mcfg.grounding_tokenizer.in_dim,
         )
         cond = {
-            "context": context.astype(compute_dtype),
-            "uc": uc.astype(compute_dtype),
+            "context": context,
+            "uc": uc,
             "grounding": self._to_device_grounding(g_np, num_images),
-            "null_g": unifusion.null_grounding(
-                num_images, mcfg.max_objs, mcfg.grounding_tokenizer
-            ),
             "i2i_rng": jax.random.split(jax.random.PRNGKey(seed), 2),
         }
         sample_fn = self._get_sample_fn(
@@ -634,11 +713,44 @@ class InstanceDiffusionPipeline:
             sampler, steps, [alpha, 0.0, 1.0 - alpha]
         )
 
-        context = self.encode_prompt([m["prompt"] for m in metas])
-        uc = self.encode_prompt([neg] * b)
-        g_rows, embs = [], []
+        # MIS trajectory-count padding is decided up front so the single
+        # batched text encode below can include the per-instance prompts
+        num_traj, mis_step = 1, 0
+        if mis > 0 and max(len(m["phrases"]) for m in metas) > 0:
+            k_pad = min(
+                mcfg.max_objs,
+                -(-max(len(m["phrases"]) for m in metas) // 4) * 4,
+            )
+            num_traj = 1 + k_pad
+            mis_step = int(steps * mis)
+
+        # ONE batched text-encode dispatch for every prompt / the negative /
+        # all phrases / all MIS instance prompts (the old path cost
+        # 2 + len(metas) [+ num_traj] round trips over the device link)
+        self._check_tokenizer()
+        texts = [m["prompt"] for m in metas] + [neg]
+        phrase_off = []
         for m in metas:
-            emb = self.encode_phrases(m["phrases"])
+            phrase_off.append(len(texts))
+            texts += list(m["phrases"])
+        inst_metas = {}
+        if num_traj > 1 and mis_step > 0:
+            for i, m in enumerate(metas):
+                for j in range(len(m["phrases"])):
+                    im = prepare_instance_meta(m, j)
+                    inst_metas[(i, j)] = (len(texts), im)
+                    texts.append(im["prompt"])
+        ids = np.stack([self.tokenizer.encode(t) for t in texts])
+        enc = self._encode_text_jit(self.params.clip, jnp.asarray(ids))
+        last = enc["last_hidden_state"]
+        pooled_np = np.asarray(enc["pooler_output"])
+        context = last[:b]
+        uc = jnp.broadcast_to(last[b:b + 1], (b,) + last.shape[1:])
+
+        g_rows, embs = [], []
+        for i, m in enumerate(metas):
+            emb = [pooled_np[phrase_off[i] + j]
+                   for j in range(len(m["phrases"]))]
             embs.append(emb)
             g_rows.append(
                 prepare_grounding(
@@ -650,14 +762,10 @@ class InstanceDiffusionPipeline:
             k: np.concatenate([g[k] for g in g_rows], axis=0) for k in g_rows[0]
         }
         grounding = self._to_device_grounding(g_np, b)
-        null_g = unifusion.null_grounding(
-            b, mcfg.max_objs, mcfg.grounding_tokenizer
-        )
         cond = {
-            "context": context.astype(compute_dtype),
-            "uc": uc.astype(compute_dtype),
+            "context": context,
+            "uc": uc,
             "grounding": grounding,
-            "null_g": null_g,
         }
         # per-meta deterministic noise rows (the reference seeds per image,
         # eval_local.py:56)
@@ -672,29 +780,22 @@ class InstanceDiffusionPipeline:
             axis=0,
         ).astype(compute_dtype)
 
-        num_traj, mis_step = 1, 0
-        if mis > 0 and max(len(m["phrases"]) for m in metas) > 0:
-            k_pad = min(
-                mcfg.max_objs,
-                -(-max(len(m["phrases"]) for m in metas) // 4) * 4,
-            )
-            num_traj = 1 + k_pad
-            mis_step = int(steps * mis)
         if num_traj > 1 and mis_step > 0:
             # trajectory-major stacks: rows [j*b, (j+1)*b) hold trajectory j
-            # (trajectory 0 = the global conditioning already in `cond`)
+            # (trajectory 0 = the global conditioning already in `cond`).
+            # Context rows come out of the single encode above via ONE
+            # device gather; padding trajectories get the negative prompt.
             null_row = {
                 k: np.zeros((1,) + v.shape[1:], v.dtype)
                 for k, v in g_rows[0].items()
             }
             g_stacks = [grounding]
-            ctx_stacks = [cond["context"]]
-            uc_np = None
+            idx = list(range(b))  # trajectory 0 = the per-meta prompts
             for j in range(num_traj - 1):
-                rows_j, prompts_j = [], []
+                rows_j = []
                 for i, m in enumerate(metas):
                     if j < len(m["phrases"]):
-                        im = prepare_instance_meta(m, j)
+                        ti, im = inst_metas[(i, j)]
                         rows_j.append(
                             prepare_grounding(
                                 im, [embs[i][j]], batch=1,
@@ -702,24 +803,17 @@ class InstanceDiffusionPipeline:
                                 in_dim=mcfg.grounding_tokenizer.in_dim,
                             )
                         )
-                        prompts_j.append(im["prompt"])
+                        idx.append(ti)
                     else:
                         rows_j.append(null_row)
-                        prompts_j.append(neg)
+                        idx.append(b)  # the negative-prompt row
                 g_np_j = {
                     k: np.concatenate([r[k] for r in rows_j], axis=0)
                     for k in rows_j[0]
                 }
                 g_stacks.append(self._to_device_grounding(g_np_j, b))
-                ctx_stacks.append(
-                    self.encode_prompt(prompts_j).astype(compute_dtype)
-                )
             cond["g_stack"] = mis_mod.stack_groundings(g_stacks)
-            cond["ctx_stack"] = jnp.concatenate(ctx_stacks, axis=0)
-            cond["uc_stack"] = jnp.tile(cond["uc"], (num_traj, 1, 1))
-            cond["null_stack"] = unifusion.null_grounding(
-                num_traj * b, mcfg.max_objs, mcfg.grounding_tokenizer
-            )
+            cond["ctx_stack"] = last[jnp.asarray(np.asarray(idx))]
             w = np.ones((num_traj, b), np.float32)
             for i, m in enumerate(metas):
                 w[1 + len(m["phrases"]):, i] = 0.0
