@@ -253,3 +253,34 @@ def test_generate_batch_mis_matches_per_image_and_shards(pipe):
             np.testing.assert_array_equal(batch, sharded)
     finally:
         gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = old
+
+
+def test_single_encode_dispatch(pipe):
+    """The conditioning path issues exactly ONE text-encode dispatch per
+    generate()/generate_batch() call (incl. MIS instance prompts) — every
+    eager jit call costs a round trip over the remote-device link
+    (docs/PERF.md r4 itemization: the old 3-call + per-phrase-fetch path
+    was ~130ms/batch)."""
+    import instancediffusion_tpu.data.grounding_input as gi
+
+    meta = _patch_meta(pipe)
+    g = pipe.cfg.model.grounding_tokenizer
+    old = (gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE)
+    gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = (
+        g.n_scribble_points, g.n_polygon_points, g.seg_resize_input,
+    )
+    calls = []
+    real = pipe._encode_text_jit
+    pipe._encode_text_jit = lambda *a, **kw: (calls.append(1), real(*a, **kw))[1]
+    try:
+        pipe.generate(meta, num_images=2, steps=5, mis=0.0, seed=1)
+        assert len(calls) == 1, f"generate: {len(calls)} encode dispatches"
+        calls.clear()
+        pipe.generate(meta, num_images=1, steps=5, mis=0.4, seed=1)
+        assert len(calls) == 1, f"generate(mis): {len(calls)} dispatches"
+        calls.clear()
+        pipe.generate_batch([meta, meta], steps=5, seeds=[1, 2], mis=0.4)
+        assert len(calls) == 1, f"generate_batch: {len(calls)} dispatches"
+    finally:
+        pipe._encode_text_jit = real
+        gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = old
