@@ -20,6 +20,14 @@ N_SCRIBBLE_POINTS = 20
 N_POLYGON_POINTS = 256
 SEG_SIZE = 512
 
+# Sentinel for prepare_grounding's phrase_embeddings entries: "this slot HAS
+# a phrase embedding (set text_masks), but the vector is injected later on
+# device" — the pipeline keeps the pooled CLIP rows device-side and scatters
+# them into positive_embeddings inside the jitted sampling program, so the
+# host never blocks on a device read between text encode and sample dispatch
+# (the double-buffering prerequisite; see pipeline._inject_embeddings).
+DEFER_EMBEDDING = "defer-embedding"
+
 
 def zero_grounding_np(
     batch: int, max_objs: int = 30, in_dim: int = 768
@@ -61,10 +69,11 @@ def prepare_grounding(
         out["boxes"][0, i] = np.asarray(locations[i], np.float32)
         out["masks"][0, i] = 1.0
         if phrase_embeddings[i] is not None:
-            out["positive_embeddings"][0, i] = np.asarray(
-                phrase_embeddings[i], np.float32
-            ).reshape(-1)
             out["text_masks"][0, i] = 1.0
+            if phrase_embeddings[i] is not DEFER_EMBEDDING:
+                out["positive_embeddings"][0, i] = np.asarray(
+                    phrase_embeddings[i], np.float32
+                ).reshape(-1)
         if polygons[i] is not None:
             out["polygons"][0, i] = np.asarray(polygons[i], np.float32)
         if scribbles[i] is not None:

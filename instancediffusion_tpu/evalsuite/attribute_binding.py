@@ -39,12 +39,17 @@ def label_prompts(mode: str) -> list[str]:
 
 
 def crop_instances(image: np.ndarray, locations01) -> list[np.ndarray]:
-    """Crop (H, W, 3) uint8 by xyxy[0,1] boxes (PIL crop semantics)."""
+    """Crop (H, W, 3) uint8 by xyxy[0,1] boxes.
+
+    PIL's Image.crop ROUNDS fractional box coordinates (the reference crops
+    with image.crop((x0*w, y0*h, x1*w, y1*h)), eval_attribute_binding.py:
+    185-189); truncating instead shifts crops by a pixel and changes CLIP
+    scores — pinned by test_evalsuite_ref_parity.test_crop_parity_with_pil."""
     h, w = image.shape[:2]
     crops = []
     for x0, y0, x1, y1 in locations01:
         crops.append(
-            image[int(y0 * h) : int(y1 * h), int(x0 * w) : int(x1 * w)]
+            image[round(y0 * h):round(y1 * h), round(x0 * w):round(x1 * w)]
         )
     return crops
 

@@ -24,7 +24,12 @@ import numpy as np
 def calculate_iou(a: np.ndarray, b: np.ndarray) -> float:
     inter = np.logical_and(a, b).sum()
     union = np.logical_or(a, b).sum()
-    return float(inter / union) if union > 0 else 0.0
+    # two empty masks -> nan, exactly like the reference's unguarded 0/0
+    # (eval_pim.py:28-32): inside match_masks, nan compares False against
+    # best_iou, so an empty-vs-empty pair can never win the greedy match —
+    # returning 0.0 here would let it tie (and win) against later
+    # zero-overlap candidates, silently changing pair assignment
+    return float(inter / union) if union > 0 else float("nan")
 
 
 def mask_center(binary_mask: np.ndarray):

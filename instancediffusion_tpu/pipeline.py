@@ -65,6 +65,29 @@ class PipelineParams:
     clip: Any
 
 
+class PendingImages:
+    """Handle returned by generate(..., block=False): the whole sampling
+    program is already ENQUEUED on the device (JAX dispatch is async), and
+    nothing in generate() blocked on a device read — so the caller can
+    prepare + dispatch the NEXT batch while this one computes
+    (double-buffering; the r4 itemization measured 295 ms image fetch +
+    63 ms encode/prep sitting serially after each 9.1 s program — all of it
+    hides behind the next batch's device time)."""
+
+    def __init__(self, device_images, timings: dict):
+        self.device_images = device_images
+        self.timings = timings
+
+    def fetch(self) -> np.ndarray:
+        """Block until the program finishes and return uint8 numpy images."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = np.asarray(self.device_images)
+        self.timings["fetch"] = _time.perf_counter() - t0
+        return out
+
+
 def cast_pipeline_params(params: "PipelineParams", dtype) -> "PipelineParams":
     """bf16 inference weights: halves HBM footprint + weight-load bandwidth
     (the reference's fp16-AMP analogue; norm math still runs fp32)."""
@@ -78,6 +101,9 @@ class InstanceDiffusionPipeline:
     def __init__(self, cfg: Config, params: PipelineParams, tokenizer=None):
         self.cfg = cfg
         self.params = params
+        # per-phase host wall seconds of the last generate()/generate_batch()
+        # (serving diagnostics + PERF.md attribution); {} until the first call
+        self.last_timings: dict = {}
         if tokenizer is None:
             from instancediffusion_tpu.data.tokenizer import CLIPTokenizer
 
@@ -327,9 +353,26 @@ class InstanceDiffusionPipeline:
                     for k, v in g.items()
                 }
 
+            def inject(g, idx):
+                # scatter the device-resident pooled phrase rows into the
+                # grounding's positive_embeddings by slot index (-1 = none).
+                # The host built the grounding with DEFER_EMBEDDING markers
+                # (text_masks set, embedding zero), so the whole conditioning
+                # path runs without a single host<-device read — the
+                # prerequisite for enqueueing batch N+1 while N computes.
+                pooled = cond["pooled"].astype(g["positive_embeddings"].dtype)
+                safe = jnp.clip(idx, 0, pooled.shape[0] - 1)
+                emb = jnp.where((idx >= 0)[..., None], pooled[safe], 0.0)
+                g = dict(g)
+                g["positive_embeddings"] = emb
+                return g
+
             context = expand(cond["context"])
             uc = expand(cond["uc"]) if cond.get("uc") is not None else None
-            grounding = expand_g(cond["grounding"])
+            g0 = cond["grounding"]
+            if "pooled" in cond:
+                g0 = inject(g0, cond["emb_idx"])
+            grounding = expand_g(g0)
             null_g = unifusion.null_grounding(b, cfg.model.max_objs, gcfg)
             global_fn = make_cfg_fn(unet_params, context, uc, grounding,
                                     null_g)
@@ -364,8 +407,11 @@ class InstanceDiffusionPipeline:
                     ctx_stack = jnp.repeat(
                         cond["ctx_rows"].astype(compute_dtype), b, axis=0
                     )
+                    g_rows = cond["g_rows"]
+                    if "pooled" in cond:
+                        g_rows = inject(g_rows, cond["emb_idx_rows"])
                     g_stack = jax.tree_util.tree_map(
-                        lambda a: jnp.repeat(a, b, axis=0), cond["g_rows"]
+                        lambda a: jnp.repeat(a, b, axis=0), g_rows
                     )
                 else:
                     ctx_stack = expand(cond["ctx_stack"], num_traj * b)
@@ -447,14 +493,22 @@ class InstanceDiffusionPipeline:
         negative_prompt: str | None = None,
         compute_dtype=jnp.bfloat16,
         sampler: str | None = None,
-    ) -> np.ndarray:
+        block: bool = True,
+        initial_latents: np.ndarray | None = None,
+    ) -> np.ndarray | PendingImages:
         """meta: demo dict with prompt/phrases/locations[/points/scribbles/
         polygons/segs]. Returns (num_images, 512, 512, 3) uint8.
 
         sampler: 'plms' (default — the reference protocol), 'dpm'
         (DPM-Solver++(2M): ~2.5x fewer steps for comparable quality; pass
         steps=20), or 'ddim'. MIS is a PLMS construction
-        (plms_instance.py) — non-plms samplers require mis == 0."""
+        (plms_instance.py) — non-plms samplers require mis == 0.
+
+        block=False returns a PendingImages handle instead of fetching:
+        the program is enqueued (generate() never reads device memory —
+        pooled phrase embeddings are scattered into the grounding INSIDE
+        the jitted program), so callers can dispatch batch N+1 while N
+        computes and hide all host prep + image fetch behind device time."""
         import time as _time
 
         scfg = self.cfg.sampler
@@ -480,95 +534,134 @@ class InstanceDiffusionPipeline:
         timings["schedule_host"] = _time.perf_counter() - t0
 
         # text conditioning — ONE batched encode dispatch for prompt +
-        # negative + phrases (+ MIS per-instance prompts). Each eager jit
-        # call over the remote-device link costs a round trip; the r4
-        # itemization measured ~130ms text_encode + ~110ms grounding
-        # transfers per batch from the old 3-call + per-phrase-fetch path.
+        # negative + phrases. MIS per-instance prompts ARE the phrases
+        # (prepare_instance_meta sets prompt=phrases[i], utils/input.py:
+        # 130-144), so their context rows are reused instead of re-encoded.
+        # The pooled phrase embeddings NEVER come back to host: they stay
+        # device-side in cond["pooled"] and sample_fn scatters them into
+        # positive_embeddings in-graph, so nothing below blocks on the
+        # device and block=False callers get true async dispatch.
         t0 = _time.perf_counter()
         k = len(meta["phrases"])
-        want_mis = mis > 0 and k > 0
+        mis_step = int(steps * mis) if (mis > 0 and k > 0) else 0
+        want_mis = mis_step > 0
+        num_traj = 1 + k if want_mis else 1
         texts = [meta["prompt"], neg] + list(meta["phrases"])
-        inst_metas = []
-        if want_mis:
-            # per-instance trajectory conditioning (inference.py:83-88)
-            inst_metas = [prepare_instance_meta(meta, i) for i in range(k)]
-            texts += [im["prompt"] for im in inst_metas]
         self._check_tokenizer()
         ids = np.stack([self.tokenizer.encode(t) for t in texts])
         enc = self._encode_text_jit(self.params.clip, jnp.asarray(ids))
         last = enc["last_hidden_state"]
         # context/uc stay on device as (1, 77, D) rows — sample_fn
-        # broadcasts to the batch in-graph; phrase pooled embeddings come
-        # to host ONCE (they fill the numpy grounding arrays)
+        # broadcasts to the batch in-graph
         context, uc = last[0:1], last[1:2]
-        pooled_np = np.asarray(enc["pooler_output"][2:]) if k else None
-        phrase_emb = [pooled_np[i] for i in range(k)]
         timings["text_encode"] = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
         # batch-1 grounding: all images share the meta, so transfer one row
         # and broadcast on device (the old batch=8 transfer moved ~1MB of
         # mostly-zero polygons/embeddings per call at ~17MB/s link speed)
+        from instancediffusion_tpu.data.grounding_input import DEFER_EMBEDDING
+
         g_np = prepare_grounding(
-            meta, phrase_emb, batch=1, max_objs=mcfg.max_objs,
+            meta, [DEFER_EMBEDDING] * k, batch=1, max_objs=mcfg.max_objs,
             in_dim=mcfg.grounding_tokenizer.in_dim,
         )
         grounding = self._to_device_grounding(g_np, 1)
-        timings["grounding_prep"] = _time.perf_counter() - t0
-
         cond = {
             "context": context,
             "uc": uc,
             "grounding": grounding,
         }
+        if k:
+            n_slots = min(len(meta["locations"]), k, mcfg.max_objs)
+            emb_idx = np.full((1, mcfg.max_objs), -1, np.int32)
+            emb_idx[0, :n_slots] = np.arange(n_slots)
+            cond["pooled"] = enc["pooler_output"][2:2 + k]
+            cond["emb_idx"] = jnp.asarray(emb_idx)
+        timings["grounding_prep"] = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
-        rng = jax.random.PRNGKey(seed)
-        x_init = jax.random.normal(
-            rng, (num_images, mcfg.image_size, mcfg.image_size, mcfg.in_channels)
-        ).astype(compute_dtype)
+        if initial_latents is not None:
+            # caller-provided starting noise (NHWC) — reproducibility hooks
+            # and cross-framework parity runs (the reference's
+            # starting_noise arg, inference.py:38,76)
+            x_init = jnp.asarray(initial_latents).astype(compute_dtype)
+            if x_init.shape != (num_images, mcfg.image_size,
+                                mcfg.image_size, mcfg.in_channels):
+                raise ValueError(
+                    f"initial_latents shape {x_init.shape} != "
+                    f"({num_images}, {mcfg.image_size}, {mcfg.image_size}, "
+                    f"{mcfg.in_channels})"
+                )
+        else:
+            rng = jax.random.PRNGKey(seed)
+            x_init = jax.random.normal(
+                rng,
+                (num_images, mcfg.image_size, mcfg.image_size, mcfg.in_channels),
+            ).astype(compute_dtype)
         timings["x_init"] = _time.perf_counter() - t0
 
-        num_traj = 1 + k if mis > 0 else 1
-        mis_step = int(steps * mis) if num_traj > 1 else 0
-
-        if num_traj > 1 and mis_step > 0:
-            # compact per-trajectory rows (batch=1 each); sample_fn repeats
-            # them to the batch in-graph (trajectory-major)
+        if want_mis:
+            # compact per-trajectory rows (batch=1 each), stacked on HOST
+            # and transferred once; sample_fn injects embeddings and repeats
+            # to the batch in-graph (trajectory-major). Trajectory j+1 is
+            # instance j alone (inference.py:83-88): its context row is the
+            # phrase row and its grounding has the instance in slot 0.
             t0 = _time.perf_counter()
-            inst_groundings = [grounding]
-            for i, im in enumerate(inst_metas):
-                ig = prepare_grounding(
-                    im, [phrase_emb[i]], batch=1,
-                    max_objs=mcfg.max_objs,
-                    in_dim=mcfg.grounding_tokenizer.in_dim,
+            rows = [g_np]
+            idx_rows = [emb_idx]
+            for i in range(k):
+                im = prepare_instance_meta(meta, i)
+                rows.append(
+                    prepare_grounding(
+                        im, [DEFER_EMBEDDING], batch=1,
+                        max_objs=mcfg.max_objs,
+                        in_dim=mcfg.grounding_tokenizer.in_dim,
+                    )
                 )
-                inst_groundings.append(self._to_device_grounding(ig, 1))
-            cond["g_rows"] = mis_mod.stack_groundings(inst_groundings)
+                row_idx = np.full((1, mcfg.max_objs), -1, np.int32)
+                row_idx[0, 0] = i
+                idx_rows.append(row_idx)
+            stack_np = {
+                key: np.concatenate([r[key] for r in rows], axis=0)
+                for key in rows[0]
+            }
+            cond["g_rows"] = self._to_device_grounding(stack_np, num_traj)
+            cond["emb_idx_rows"] = jnp.asarray(
+                np.concatenate(idx_rows, axis=0)
+            )
             cond["ctx_rows"] = jnp.concatenate(
-                [last[0:1], last[2 + k:2 + 2 * k]], axis=0
+                [last[0:1], last[2:2 + k]], axis=0
             )
             timings["mis_prep"] = _time.perf_counter() - t0
 
         static_gates = None if sampler == "ddim" else gate_runs(sched.gates)
+        key = (gs, num_traj, mis_step, static_gates, None, compute_dtype,
+               sampler)
+        # jax.jit traces+compiles lazily at the first CALL: when this static
+        # signature is new, the dispatch below includes minutes of XLA — so
+        # it is attributed to 'trace_compile', never to 'sample_dispatch'
+        # (warm numbers stay meaningful for itemization/serving diagnostics)
+        cold = self._sample_cache is None or key not in self._sample_cache
+        sample_fn = self._get_sample_fn(key)
         t0 = _time.perf_counter()
-        sample_fn = self._get_sample_fn(
-            (gs, num_traj, mis_step, static_gates, None, compute_dtype,
-             sampler)
-        )
         images = sample_fn(
             self.params.unet, self.params.vae, sched, cond, x_init
         )
-        timings["sample_dispatch"] = _time.perf_counter() - t0
+        timings["trace_compile" if cold else "sample_dispatch"] = (
+            _time.perf_counter() - t0
+        )
+        # per-phase host wall seconds of the last generate() — serving
+        # diagnostics + the PERF.md overhead attribution (VERDICT r3 #2)
+        self.last_timings = timings
+        if not block:
+            return PendingImages(images, timings)
         t0 = _time.perf_counter()
         images.block_until_ready()
         timings["sample_device"] = _time.perf_counter() - t0
         t0 = _time.perf_counter()
         out = np.asarray(images)  # uint8, quantized on device
         timings["fetch"] = _time.perf_counter() - t0
-        # per-phase host wall seconds of the last generate() — serving
-        # diagnostics + the PERF.md overhead attribution (VERDICT r3 #2)
-        self.last_timings = timings
         return out
 
     def img2img(
@@ -725,8 +818,12 @@ class InstanceDiffusionPipeline:
             mis_step = int(steps * mis)
 
         # ONE batched text-encode dispatch for every prompt / the negative /
-        # all phrases / all MIS instance prompts (the old path cost
-        # 2 + len(metas) [+ num_traj] round trips over the device link)
+        # all phrases (MIS instance prompts reuse the phrase rows; the old
+        # path cost 2 + len(metas) [+ num_traj] round trips over the link)
+        import time as _time
+
+        timings: dict = {}
+        t0 = _time.perf_counter()
         self._check_tokenizer()
         texts = [m["prompt"] for m in metas] + [neg]
         phrase_off = []
@@ -738,15 +835,19 @@ class InstanceDiffusionPipeline:
             for i, m in enumerate(metas):
                 for j in range(len(m["phrases"])):
                     im = prepare_instance_meta(m, j)
-                    inst_metas[(i, j)] = (len(texts), im)
-                    texts.append(im["prompt"])
+                    # the instance prompt IS the phrase (prepare_instance_meta
+                    # sets prompt=phrases[j]) — reuse its encode row instead
+                    # of appending a duplicate text
+                    inst_metas[(i, j)] = (phrase_off[i] + j, im)
         ids = np.stack([self.tokenizer.encode(t) for t in texts])
         enc = self._encode_text_jit(self.params.clip, jnp.asarray(ids))
         last = enc["last_hidden_state"]
         pooled_np = np.asarray(enc["pooler_output"])
         context = last[:b]
         uc = jnp.broadcast_to(last[b:b + 1], (b,) + last.shape[1:])
+        timings["text_encode"] = _time.perf_counter() - t0
 
+        t0 = _time.perf_counter()
         g_rows, embs = [], []
         for i, m in enumerate(metas):
             emb = [pooled_np[phrase_off[i] + j]
@@ -859,10 +960,19 @@ class InstanceDiffusionPipeline:
             if mesh is not None and mesh.shape.get("model", 1) > 1
             else None
         )
+        timings["grounding_prep"] = _time.perf_counter() - t0
         static_gates = None if sampler == "ddim" else gate_runs(sched.gates)
-        sample_fn = self._get_sample_fn(
-            (gs, num_traj, mis_step, static_gates, tp_mesh, compute_dtype,
-             sampler)
-        )
+        key = (gs, num_traj, mis_step, static_gates, tp_mesh, compute_dtype,
+               sampler)
+        cold = self._sample_cache is None or key not in self._sample_cache
+        sample_fn = self._get_sample_fn(key)
+        t0 = _time.perf_counter()
         images = sample_fn(unet_p, vae_p, sched, cond, x_init)
-        return np.asarray(images)[:n_meta]  # uint8, quantized on device
+        timings["trace_compile" if cold else "sample_dispatch"] = (
+            _time.perf_counter() - t0
+        )
+        t0 = _time.perf_counter()
+        out = np.asarray(images)[:n_meta]  # uint8, quantized on device
+        timings["fetch"] = _time.perf_counter() - t0
+        self.last_timings = timings
+        return out

