@@ -24,6 +24,7 @@ def _with_dims(pipe):
     return old
 
 
+@pytest.mark.heavy
 def test_img2img_end_to_end(pipe):
     import instancediffusion_tpu.data.grounding_input as gi
 

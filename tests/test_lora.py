@@ -159,6 +159,7 @@ def test_shape_mismatch_raises():
         merge_lora(unet, keys)
 
 
+@pytest.mark.heavy
 def test_pipeline_load_lora_changes_generation(tmp_path):
     from tests.test_pipeline import _patch_meta, tiny_config
     from instancediffusion_tpu.pipeline import InstanceDiffusionPipeline

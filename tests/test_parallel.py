@@ -158,6 +158,7 @@ def _check_train_equivalence(cfg):
         np.testing.assert_allclose(b_, a, rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_sharded_train_step_matches_single_device():
     _check_train_equivalence(micro_cfg())
 
@@ -225,6 +226,7 @@ def _check_sampler_equivalence(cfg, steps):
     np.testing.assert_allclose(z8, z1, rtol=5e-5, atol=5e-6)
 
 
+@pytest.mark.heavy
 def test_sharded_plms_sample_matches_unsharded():
     _check_sampler_equivalence(micro_cfg(), steps=4)
 

@@ -128,6 +128,7 @@ def test_demo_json_parsing(tmp_path):
     assert len(meta["scribbles"][0]) == 40
 
 
+@pytest.mark.heavy
 def test_generate_batch_matches_per_image_and_shards(pipe):
     """Batched eval generation: a 2-meta batch equals the two per-image
     samples row-for-row (same per-meta seeds and schedule), and the same
@@ -208,6 +209,7 @@ def test_demo_inventory_matches_reference_count():
     assert len([f for f in os.listdir(_DEMO_DIR) if f.endswith(".json")]) >= 12
 
 
+@pytest.mark.heavy
 def test_generate_batch_mis_matches_per_image_and_shards(pipe):
     """Batched MIS (VERDICT r2 missing #4): metas with DIFFERENT instance
     counts share one compiled program (padded to a static trajectory count,

@@ -41,6 +41,7 @@ def test_refiner_plan_structure():
     assert n_attn_in == 4 and n_attn_out == 6
 
 
+@pytest.mark.heavy
 def test_refiner_forward_shape_and_finite():
     cfg = TINY
     params = init_refiner_unet(jax.random.PRNGKey(0), cfg)
@@ -242,6 +243,7 @@ def test_img2img_schedule_slice():
     np.testing.assert_array_equal(sl.ts, sched.ts[13:])
 
 
+@pytest.mark.heavy
 def test_refiner_pipeline_tiny_e2e():
     """Full img2img path (VAE encode -> noise -> CFG DDIM -> decode) on a
     scaled-down refiner; exercises tokenizer, OpenCLIP tower, ADM vector,

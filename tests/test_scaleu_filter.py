@@ -4,10 +4,12 @@ the masked-FFT formulation exactly (threshold=1 touches only the
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from instancediffusion_tpu.models.unet import _fourier_filter_fft, fourier_filter
 
 
+@pytest.mark.heavy
 def test_projection_matches_fft():
     rng = np.random.default_rng(0)
     for h, w in [(8, 8), (16, 16), (8, 16), (6, 10)]:

@@ -36,6 +36,7 @@ def _inputs(cfg, b=8, seed=3):
     )
 
 
+@pytest.mark.heavy
 def test_tp_forward_matches_replicated():
     cfg = micro_cfg()
     mcfg = cfg.model

@@ -75,6 +75,7 @@ def test_trainable_mask_selects_new_params_only(unet_params):
     assert opt_mod.count_trainable(params) > 0
 
 
+@pytest.mark.heavy
 def test_masked_update_freezes_frozen(unet_params):
     params, _ = unet_params
     tx = opt_mod.make_optimizer(learning_rate=1e-2, warmup_steps=0, params=params)
@@ -192,6 +193,7 @@ def _train_setup(cfg):
     return state, step
 
 
+@pytest.mark.heavy
 def test_dropped_caption_feeds_clip_of_empty_string_not_zeros():
     """Caption dropout parity: the reference encodes caption="" for dropped
     rows (trainer.py:156 + decode_item.py:762-763) — a NON-zero SOT/EOT
