@@ -516,11 +516,14 @@ class InstanceDiffusionPipeline:
         steps = steps or scfg.steps
         gs = scfg.guidance_scale if guidance_scale is None else guidance_scale
         alpha = scfg.alpha if alpha is None else alpha
-        mis = scfg.mis if mis is None else mis
         seed = scfg.seed if seed is None else seed
         neg = scfg.negative_prompt if negative_prompt is None else negative_prompt
         sampler = scfg.sampler if sampler is None else sampler
-        if sampler != "plms" and mis > 0:
+        if mis is None:
+            # config-default MIS only applies where it can run: an explicit
+            # non-PLMS sampler choice beats the config's mis fraction
+            mis = scfg.mis if sampler == "plms" else 0.0
+        elif sampler != "plms" and mis > 0:
             raise ValueError(
                 f"sampler={sampler!r} does not support MIS (a PLMS "
                 "trajectory construction) — pass mis=0.0"
@@ -778,11 +781,13 @@ class InstanceDiffusionPipeline:
         Returns (len(metas), 512, 512, 3) uint8."""
         scfg = self.cfg.sampler
         steps = steps or scfg.steps
-        mis = scfg.mis if mis is None else mis
         gs = scfg.guidance_scale if guidance_scale is None else guidance_scale
         alpha = scfg.alpha if alpha is None else alpha
         neg = scfg.negative_prompt if negative_prompt is None else negative_prompt
         sampler = scfg.sampler if sampler is None else sampler
+        if mis is None:
+            # explicit non-PLMS sampler choice beats the config-default mis
+            mis = scfg.mis if sampler == "plms" else 0.0
         if sampler != "plms" and mis > 0:
             raise ValueError(
                 f"sampler={sampler!r} does not support MIS (a PLMS "

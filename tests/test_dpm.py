@@ -162,6 +162,18 @@ def test_pipeline_sampler_selection(monkeypatch, tiny_pipe):
         with pytest.raises(ValueError, match="MIS"):
             pipe.generate(meta, num_images=1, steps=5, mis=0.4, seed=1,
                           sampler="dpm")
+        # ...but a config-DEFAULT mis must not poison an explicit non-PLMS
+        # sampler choice: mis omitted -> coerced to 0.0, same compiled
+        # variant, same images (regression: serve(sampler='dpm') raised
+        # because Config().sampler.mis defaults to 0.36)
+        monkeypatch.setattr(pipe.cfg.sampler, "mis", 0.4)
+        n_variants = len(pipe._sample_cache)
+        imgs_default_mis = pipe.generate(meta, num_images=1, steps=5,
+                                         seed=1, sampler="dpm")
+        np.testing.assert_array_equal(imgs, imgs_default_mis)
+        assert len(pipe._sample_cache) == n_variants, (
+            "mis coercion must hit the existing mis=0 dpm variant"
+        )
         # unknown sampler rejected
         with pytest.raises(ValueError, match="unknown sampler"):
             pipe.generate(meta, num_images=1, steps=5, mis=0.0, seed=1,
