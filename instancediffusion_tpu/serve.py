@@ -17,10 +17,12 @@ long-lived service the TPU way:
     the first request never pays the cold XLA compile. NOTE on restarts:
     over the current remote-device backend the persistent compilation
     cache does NOT make restarts fast — the cache key carries a
-    per-device-session component, so a fresh process pays the full
-    ~5-10 min trace+compile again (measured; docs/PERF.md r4 "cache
-    postmortem" and r5 cold-start section). Plan restarts around that
-    SLA, or keep a standby process warm.
+    per-device-session component, so a fresh process pays trace+compile
+    again (measured; docs/PERF.md r4 "cache postmortem" and r5 cold-start
+    section). A `jax.export` blob (tools/aot_cold_start.py) halves that:
+    the measured restart-to-first-image floor is ~7 min (session spin-up
+    + backend compile). Plan restarts around that SLA, or keep a standby
+    process warm.
   * deterministic: an explicit per-request `seed` (default 0) maps to the
     same image bytes every time, like every other surface here.
 

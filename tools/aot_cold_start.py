@@ -82,10 +82,25 @@ class _Captured(Exception):
     pass
 
 
+def _register_schedule_serialization():
+    """jax.export serialization needs every custom pytree in the call
+    signature registered by name (auxdata is None for our schedules)."""
+    from jax import export as jexport
+    from instancediffusion_tpu.samplers.plms import PLMSSchedule
+
+    jexport.register_pytree_node_serialization(
+        PLMSSchedule,
+        serialized_name="instancediffusion_tpu.PLMSSchedule",
+        serialize_auxdata=lambda aux: b"",
+        deserialize_auxdata=lambda b: None,
+    )
+
+
 def do_export():
     import jax
     from jax import export as jexport
 
+    _register_schedule_serialization()
     pipe, fn, args = _pipe_and_args()
     t0 = time.time()
     shapes = jax.tree_util.tree_map(
@@ -106,6 +121,7 @@ def do_load():
     import jax
     from jax import export as jexport
 
+    _register_schedule_serialization()
     t0 = time.time()
     with open(BLOB, "rb") as f:
         exported = jexport.deserialize(bytearray(f.read()))
