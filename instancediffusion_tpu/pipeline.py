@@ -474,11 +474,29 @@ class InstanceDiffusionPipeline:
             "protocol), 'dpm' (DPM-Solver++(2M) fast serving), or 'ddim'"
         )
 
+    _aot = None
+
+    def enable_aot(self, directory: str, save: bool = True) -> None:
+        """Opt into the jax.export AOT program cache (aot.py): sample
+        programs load from / save to `directory` as StableHLO blobs, so a
+        process restart skips re-tracing and backend-compiles a pre-lowered
+        module (~7 min restart-to-first-image vs ~10-12; docs/PERF.md r5
+        cold-start section). Call before the first generate()."""
+        from instancediffusion_tpu.aot import AOTProgramCache
+
+        self._aot = AOTProgramCache(directory, save=save)
+        self._sample_cache = {}  # re-wrap variants built before opt-in
+
     def _get_sample_fn(self, key):
         if self._sample_cache is None:
             self._sample_cache = {}
         if key not in self._sample_cache:
-            self._sample_cache[key] = self._make_sample_fn(*key)
+            fn = self._make_sample_fn(*key)
+            # AOT covers single-device programs; key[4] is tp_mesh — sharded
+            # blobs would pin a device topology (see aot.py docstring)
+            if self._aot is not None and key[4] is None:
+                fn = self._aot.wrap(key, fn)
+            self._sample_cache[key] = fn
         return self._sample_cache[key]
 
     def generate(

@@ -19,10 +19,10 @@ long-lived service the TPU way:
     cache does NOT make restarts fast — the cache key carries a
     per-device-session component, so a fresh process pays trace+compile
     again (measured; docs/PERF.md r4 "cache postmortem" and r5 cold-start
-    section). A `jax.export` blob (tools/aot_cold_start.py) halves that:
-    the measured restart-to-first-image floor is ~7 min (session spin-up
-    + backend compile). Plan restarts around that SLA, or keep a standby
-    process warm.
+    section). Opt into the AOT blob cache (`--aot_dir`, aot.py) to halve
+    that: the measured restart-to-first-image floor is ~7 min (session
+    spin-up + backend compile of the pre-lowered module). Plan restarts
+    around that SLA, or keep a standby process warm.
   * deterministic: an explicit per-request `seed` (default 0) maps to the
     same image bytes every time, like every other surface here.
 
@@ -201,11 +201,19 @@ def make_handler(batcher: BatchingQueue, device_desc: str):
 
 def serve(pipe, host: str = "127.0.0.1", port: int = 8321,
           batch_size: int = 8, max_wait_ms: float = 50.0,
-          warmup: bool = True, **gen_kwargs) -> ThreadingHTTPServer:
+          warmup: bool = True, aot_dir: str | None = None,
+          **gen_kwargs) -> ThreadingHTTPServer:
     """Start serving `pipe` (InstanceDiffusionPipeline). Returns the
-    running server (call .shutdown() to stop); blocks only in __main__."""
+    running server (call .shutdown() to stop); blocks only in __main__.
+
+    aot_dir: opt into the jax.export program cache (aot.py) — the serving
+    graph loads from / saves to StableHLO blobs there, cutting a restart's
+    warm-up from re-trace+compile to deserialize+compile (docs/PERF.md r5
+    cold-start section)."""
     import jax
 
+    if aot_dir:
+        pipe.enable_aot(aot_dir)
     batcher = BatchingQueue(pipe.generate_batch, batch_size=batch_size,
                             max_wait_ms=max_wait_ms, **gen_kwargs)
     if warmup:
@@ -248,6 +256,9 @@ def main(argv=None):
                    choices=["plms", "dpm", "ddim"])
     p.add_argument("--mesh", action="store_true",
                    help="shard serving batches over all local devices")
+    p.add_argument("--aot_dir", type=str, default=None,
+                   help="jax.export blob cache dir: restarts skip re-trace "
+                        "and compile a pre-lowered module (docs/PERF.md r5)")
     args = p.parse_args(argv)
 
     import os
@@ -273,7 +284,7 @@ def main(argv=None):
         pipe, host=args.host, port=args.port, batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms, steps=args.steps,
         guidance_scale=args.guidance_scale, alpha=args.alpha, mis=args.mis,
-        sampler=args.sampler, mesh=mesh,
+        sampler=args.sampler, mesh=mesh, aot_dir=args.aot_dir,
     )
     try:
         while True:
