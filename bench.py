@@ -28,7 +28,7 @@ def _emit(obj: dict) -> None:
     print("@RESULT " + json.dumps(obj), flush=True)
 
 
-def _device_sanity(timeouts=(480, 180, 180)):
+def _device_sanity(timeouts=(660, 300, 300)):
     """Fail fast (with a diagnosis) if the device link is dead instead of
     hanging until an external kill. Observed 2026-08-17: the axon tunnel
     went down mid-session and even a (256,256) matmul blocked forever.
@@ -46,8 +46,10 @@ def _device_sanity(timeouts=(480, 180, 180)):
     ~5.5 min (339 s timed; device-side session spin-up), then ~25 s while
     warm. A 60 s-timeout retry loop is therefore SELF-DEFEATING cold —
     killing the probe discards the spin-up progress and the next attempt
-    starts over. Hence one LONG first attempt (8 min) and two warm-scale
-    retries, instead of six 60 s kills."""
+    starts over. Hence one LONG first attempt and two generous retries,
+    instead of six 60 s kills. Round-5 re-measurement widened the cold
+    band to 454-584 s (docs/PERF.md), so the first attempt is 11 min and
+    the retries 5 min (a killed-and-restarted probe may still land cold)."""
     import subprocess
 
     probe_src = (
@@ -187,45 +189,82 @@ def _child_main():
         "alpha_type": [0.75, 0.0, 0.25],
     }
 
-    # warm-up: compile
+    # warm-up: compile. One retry on a transient tunnel flake — observed
+    # 2026-08-20: a healthy session's remote_compile RPC died with
+    # "response body closed before all bytes were read"; the next attempt
+    # in the same process succeeded. A single flake must not null the
+    # round's headline.
     print(f"bench: compiling (B={num_images}, steps={steps})...",
           file=sys.stderr, flush=True)
-    t0 = time.time()
-    imgs = pipe.generate(meta, num_images=num_images, steps=steps, mis=mis,
-                         seed=0, sampler=sampler)
+    for attempt in (1, 2):
+        t0 = time.time()
+        try:
+            imgs = pipe.generate(meta, num_images=num_images, steps=steps,
+                                 mis=mis, seed=0, sampler=sampler)
+            break
+        except Exception as e:  # noqa: BLE001 — jax runtime/tunnel errors
+            if attempt == 2:
+                raise
+            print(f"bench: warm-up attempt 1 failed "
+                  f"({type(e).__name__}: {str(e)[:150]}); retrying in 30s",
+                  file=sys.stderr, flush=True)
+            time.sleep(30)
     compile_s = time.time() - t0
     print(f"bench: compiled+ran in {compile_s:.0f}s", file=sys.stderr, flush=True)
     assert imgs.shape == (num_images, 512, 512, 3), imgs.shape
 
-    # timed runs — PIPELINED steady-state throughput (VERDICT r4 #1): every
-    # batch's program is enqueued up-front (generate(block=False) never
-    # blocks on a device read — pooled phrase embeddings are scattered into
-    # the grounding INSIDE the jitted program), so host prep and the uint8
-    # image fetch hide behind device compute. One untimed prime batch fills
-    # the pipeline; the timed window is fetch(prime) -> fetch(run n), i.e.
-    # exactly n back-to-back device programs. The reference serializes
-    # prep -> sample -> fetch per batch (inference.py:94-96); this overlap
-    # is a beat-the-reference lever, not a protocol change: every counted
-    # image is fully generated AND fetched to host numpy inside the window.
+    # timed runs — PIPELINED steady-state throughput (VERDICT r4 #1) at
+    # dispatch depth 1: batch N+1's program is enqueued BEFORE batch N's
+    # images are fetched (generate(block=False) never blocks on a device
+    # read — pooled phrase embeddings are scattered into the grounding
+    # INSIDE the jitted program), so host prep and the uint8 image fetch
+    # hide behind device compute. One untimed prime batch fills the
+    # pipeline; the timed window is fetch(prime) -> fetch(run n), i.e.
+    # exactly n back-to-back device programs. Depth MUST stay at 1:
+    # dispatching every program up-front detaches fetch timing from
+    # compute — the prime fetch RPC queues behind all the dispatch RPCs on
+    # the serialized tunnel, t0 starts late, and the "throughput" exceeds
+    # the physics ceiling (measured 2026-08-20: BENCH_RUNS=8 all-up-front
+    # read 2.35 img/s vs the 1.03 roofline — an invalid window, not a fast
+    # chip). The reference serializes prep -> sample -> fetch per batch
+    # (inference.py:94-96); depth-1 overlap is a beat-the-reference lever,
+    # not a protocol change: every counted image is fully generated AND
+    # fetched to host numpy inside the window.
     n_runs = int(os.environ.get("BENCH_RUNS", "3"))
     prime = pipe.generate(meta, num_images=num_images, steps=steps, mis=mis,
                           seed=1000, sampler=sampler, block=False)
-    handles = [
-        pipe.generate(meta, num_images=num_images, steps=steps, mis=mis,
-                      seed=i + 1, sampler=sampler, block=False)
-        for i in range(n_runs)
-    ]
+    pending = pipe.generate(meta, num_images=num_images, steps=steps,
+                            mis=mis, seed=1, sampler=sampler, block=False)
     prime.fetch()
     t0 = time.time()
-    for i, h in enumerate(handles):
+    prev = t0
+    for i in range(n_runs):
+        h, pending = pending, None
+        if i + 1 < n_runs:
+            pending = pipe.generate(meta, num_images=num_images, steps=steps,
+                                    mis=mis, seed=i + 2, sampler=sampler,
+                                    block=False)
         imgs = h.fetch()
-        el = time.time() - t0
-        print(f"bench: run {i + 1}/{n_runs} done, cumulative "
-              f"{num_images * (i + 1) / el:.4f} img/s",
+        now = time.time()
+        print(f"bench: run {i + 1}/{n_runs} done, interval "
+              f"{now - prev:.2f}s, cumulative "
+              f"{num_images * (i + 1) / (now - t0):.4f} img/s",
               file=sys.stderr, flush=True)
+        prev = now
     dt = time.time() - t0
     assert imgs.shape == (num_images, 512, 512, 3), imgs.shape
     imgs_per_sec = num_images * n_runs / dt
+    # physics sanity: the flagship protocol cannot exceed its roofline
+    # ceiling; a higher reading means the timed window lost compute time
+    # (see the depth note above), not a fast chip — say so in the JSON.
+    window_suspect = (
+        sampler == "plms" and steps == 50 and mis == 0.0
+        and imgs_per_sec > 1.03
+    )
+    if window_suspect:
+        print(f"bench: WARNING {imgs_per_sec:.3f} img/s exceeds the 1.03 "
+              "roofline ceiling — measurement window invalid",
+              file=sys.stderr, flush=True)
 
     # --- extras: driver-verified MIS + train-step numbers (VERDICT r4 #3) --
     # Each is budget-bounded and failure-isolated: the headline result is
@@ -270,6 +309,8 @@ def _child_main():
                 "roofline_ceiling_img_s": 1.03,
                 "vs_roofline_ceiling": round(imgs_per_sec / 1.03, 4),
                 "device": str(jax.devices()[0]),
+                **({"window_invalid_exceeds_roofline": True}
+                   if window_suspect else {}),
                 **extras,
             },
         }
@@ -307,7 +348,7 @@ def _child_main():
         # the HBM.
         if _budget_left() > 1400:
             try:
-                del pipe, imgs, handles, prime
+                del pipe, imgs, prime, pending
                 import gc
                 gc.collect()
                 extras.update(_train_extra())
